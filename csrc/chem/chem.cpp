@@ -1,0 +1,1164 @@
+// First-party SMILES chemistry kernel for multimodalanalytical-tpu.
+//
+// The reference framework relies on RDKit (C++) for SMILES parsing,
+// canonicalisation, molecular formulas and randomized SMILES
+// (reference: src/analytical_fm/utils.py:22-41, generation/logit_processors.py,
+// data/augmentations.py:42-46).  This library provides those capabilities as
+// a small standalone C++ engine exposed through a C ABI (ctypes-friendly).
+//
+// Capabilities:
+//   * SMILES parsing (organic subset + brackets, branches, ring closures,
+//     multi-fragment, charges, isotopes, tetrahedral stereo),
+//   * valence validation and implicit-H assignment,
+//   * aromaticity perception (Hueckel per-ring + fused-pair pass) and
+//     kekulization-based validation of aromatic systems,
+//   * canonical SMILES output via iterative partition refinement
+//     (Weisfeiler-Lehman) with branch-and-min tie-breaking,
+//   * Hill-order molecular formula with net charge,
+//   * randomized (non-canonical) SMILES enumeration,
+//   * per-element atom counts (for formula-guided decoding).
+//
+// Intentional deviations from RDKit (documented framework caveats):
+//   * cis/trans bond stereo (/ \) is parsed and dropped,
+//   * canonical strings are NOT byte-identical to RDKit's; they are a
+//     consistent canonical form (same molecule -> same string), which is what
+//     exact-match Top-N scoring requires.
+
+#include <algorithm>
+#include <cstdint>
+#include <functional>
+#include <cstring>
+#include <map>
+#include <random>
+#include <set>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Periodic table (subset)
+// ---------------------------------------------------------------------------
+
+struct ElementInfo {
+  const char* symbol;
+  int number;
+};
+
+static const ElementInfo kElements[] = {
+    {"H", 1},   {"He", 2},  {"Li", 3},  {"Be", 4},  {"B", 5},   {"C", 6},
+    {"N", 7},   {"O", 8},   {"F", 9},   {"Ne", 10}, {"Na", 11}, {"Mg", 12},
+    {"Al", 13}, {"Si", 14}, {"P", 15},  {"S", 16},  {"Cl", 17}, {"Ar", 18},
+    {"K", 19},  {"Ca", 20}, {"Ti", 22}, {"Cr", 24}, {"Mn", 25}, {"Fe", 26},
+    {"Co", 27}, {"Ni", 28}, {"Cu", 29}, {"Zn", 30}, {"Ga", 31}, {"Ge", 32},
+    {"As", 33}, {"Se", 34}, {"Br", 35}, {"Kr", 36}, {"Rb", 37}, {"Sr", 38},
+    {"Zr", 40}, {"Mo", 42}, {"Ru", 44}, {"Rh", 45}, {"Pd", 46}, {"Ag", 47},
+    {"Cd", 48}, {"In", 49}, {"Sn", 50}, {"Sb", 51}, {"Te", 52}, {"I", 53},
+    {"Xe", 54}, {"Cs", 55}, {"Ba", 56}, {"W", 74},  {"Re", 75}, {"Os", 76},
+    {"Ir", 77}, {"Pt", 78}, {"Au", 79}, {"Hg", 80}, {"Tl", 81}, {"Pb", 82},
+    {"Bi", 83},
+};
+
+int symbol_to_number(const std::string& sym) {
+  for (const auto& e : kElements) {
+    if (sym == e.symbol) return e.number;
+  }
+  return -1;
+}
+
+const char* number_to_symbol(int z) {
+  for (const auto& e : kElements) {
+    if (z == e.number) return e.symbol;
+  }
+  return "?";
+}
+
+// Allowed valences for implicit-H computation on organic-subset atoms.
+// (OpenSMILES: B 3; C 4; N 3,5; O 2; P 3,5; S 2,4,6; halogens 1.)
+std::vector<int> organic_valences(int z) {
+  switch (z) {
+    case 5: return {3};
+    case 6: return {4};
+    case 7: return {3, 5};
+    case 8: return {2};
+    case 15: return {3, 5};
+    case 16: return {2, 4, 6};
+    case 9: case 17: case 35: case 53: return {1};
+    default: return {};
+  }
+}
+
+bool is_organic_subset(int z) {
+  switch (z) {
+    case 5: case 6: case 7: case 8: case 9: case 15: case 16:
+    case 17: case 35: case 53:
+      return true;
+    default:
+      return false;
+  }
+}
+
+bool can_be_aromatic(int z) {
+  switch (z) {
+    case 5: case 6: case 7: case 8: case 15: case 16: case 33: case 34:
+      return true;
+    default:
+      return false;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Molecular graph
+// ---------------------------------------------------------------------------
+
+enum BondOrder : uint8_t { BOND_SINGLE = 1, BOND_DOUBLE = 2, BOND_TRIPLE = 3, BOND_AROMATIC = 4 };
+enum Chirality : uint8_t { CHI_NONE = 0, CHI_CCW = 1, CHI_CW = 2 };  // @ / @@
+
+struct Atom {
+  int z = 6;
+  bool aromatic = false;
+  int charge = 0;
+  int isotope = 0;             // 0 = natural
+  int explicit_h = -1;         // -1 = not bracketed (implicit by valence)
+  Chirality chirality = CHI_NONE;
+  bool bracket = false;
+  int n_h = 0;                 // resolved H count
+  std::vector<int> bonds;      // bond indices in written order
+  bool h_first = false;        // bracket H counts as first neighbor for stereo
+};
+
+struct Bond {
+  int a = -1, b = -1;
+  BondOrder order = BOND_SINGLE;
+  bool in_aromatic_ring = false;
+
+  int other(int atom) const { return atom == a ? b : a; }
+};
+
+struct Mol {
+  std::vector<Atom> atoms;
+  std::vector<Bond> bonds;
+
+  int add_bond(int a, int b, BondOrder order) {
+    Bond bond;
+    bond.a = a;
+    bond.b = b;
+    bond.order = order;
+    bonds.push_back(bond);
+    int idx = static_cast<int>(bonds.size()) - 1;
+    atoms[a].bonds.push_back(idx);
+    atoms[b].bonds.push_back(idx);
+    return idx;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Parser
+// ---------------------------------------------------------------------------
+
+struct RingBond {
+  int atom = -1;
+  int bond_symbol = 0;  // 0 = unspecified
+};
+
+class Parser {
+ public:
+  explicit Parser(const std::string& s) : s_(s) {}
+
+  bool parse(Mol* mol) {
+    mol_ = mol;
+    size_t i = 0;
+    std::vector<int> stack;
+    int prev = -1;
+    int pending_bond = 0;  // 0 unspecified, otherwise bond char
+
+    while (i < s_.size()) {
+      char c = s_[i];
+      if (c == '(') {
+        if (prev < 0) return false;
+        stack.push_back(prev);
+        ++i;
+      } else if (c == ')') {
+        if (stack.empty()) return false;
+        prev = stack.back();
+        stack.pop_back();
+        ++i;
+      } else if (c == '-' || c == '=' || c == '#' || c == ':' || c == '/' ||
+                 c == '\\' || c == '~' || c == '$') {
+        pending_bond = c;
+        ++i;
+      } else if (c == '.') {
+        prev = -1;
+        pending_bond = 0;
+        ++i;
+      } else if (c == '%' || (c >= '0' && c <= '9')) {
+        int ring;
+        if (c == '%') {
+          if (i + 2 >= s_.size() || !isdigit(s_[i + 1]) || !isdigit(s_[i + 2])) return false;
+          ring = (s_[i + 1] - '0') * 10 + (s_[i + 2] - '0');
+          i += 3;
+        } else {
+          ring = c - '0';
+          ++i;
+        }
+        if (prev < 0) return false;
+        if (!close_or_open_ring(prev, ring, pending_bond)) return false;
+        pending_bond = 0;
+      } else {
+        int atom_idx = parse_atom(i);
+        if (atom_idx < 0) return false;
+        if (prev >= 0) {
+          BondOrder order = resolve_bond(pending_bond, prev, atom_idx);
+          mol_->add_bond(prev, atom_idx, order);
+        }
+        prev = atom_idx;
+        pending_bond = 0;
+      }
+    }
+    if (!stack.empty()) return false;
+    for (const auto& rb : open_rings_) {
+      if (rb.second.atom >= 0) return false;  // unclosed ring bond
+    }
+    return mol_->atoms.size() > 0;
+  }
+
+ private:
+  BondOrder resolve_bond(int sym, int a, int b) {
+    switch (sym) {
+      case '=': return BOND_DOUBLE;
+      case '#': return BOND_TRIPLE;
+      case ':': return BOND_AROMATIC;
+      case '-': case '/': case '\\': return BOND_SINGLE;
+      case 0:
+        return (mol_->atoms[a].aromatic && mol_->atoms[b].aromatic) ? BOND_AROMATIC
+                                                                    : BOND_SINGLE;
+      default: return BOND_SINGLE;
+    }
+  }
+
+  bool close_or_open_ring(int atom, int ring, int bond_sym) {
+    auto it = open_rings_.find(ring);
+    if (it == open_rings_.end() || it->second.atom < 0) {
+      RingBond rb;
+      rb.atom = atom;
+      rb.bond_symbol = bond_sym;
+      open_rings_[ring] = rb;
+      // Ring-closure placeholder keeps stereo neighbor order consistent.
+      ring_placeholder_[ring] = {atom, static_cast<int>(mol_->atoms[atom].bonds.size())};
+      mol_->atoms[atom].bonds.push_back(-1000 - ring);
+      return true;
+    }
+    RingBond rb = it->second;
+    open_rings_.erase(it);
+    if (rb.atom == atom) return false;
+    int sym = bond_sym ? bond_sym : rb.bond_symbol;
+    BondOrder order = resolve_bond(sym, rb.atom, atom);
+    // Create the bond and patch the placeholder slot on the opening atom.
+    Bond bond;
+    bond.a = rb.atom;
+    bond.b = atom;
+    bond.order = order;
+    mol_->bonds.push_back(bond);
+    int idx = static_cast<int>(mol_->bonds.size()) - 1;
+    auto ph = ring_placeholder_[ring];
+    mol_->atoms[ph.first].bonds[ph.second] = idx;
+    mol_->atoms[atom].bonds.push_back(idx);
+    return true;
+  }
+
+  int parse_atom(size_t& i) {
+    char c = s_[i];
+    Atom atom;
+    if (c == '[') {
+      size_t end = s_.find(']', i);
+      if (end == std::string::npos) return -1;
+      std::string body = s_.substr(i + 1, end - i - 1);
+      i = end + 1;
+      if (!parse_bracket(body, &atom)) return -1;
+    } else if (c == 'C' && i + 1 < s_.size() && s_[i + 1] == 'l') {
+      atom.z = 17; i += 2;
+    } else if (c == 'B' && i + 1 < s_.size() && s_[i + 1] == 'r') {
+      atom.z = 35; i += 2;
+    } else if (c == 'B' || c == 'C' || c == 'N' || c == 'O' || c == 'P' ||
+               c == 'S' || c == 'F' || c == 'I') {
+      atom.z = symbol_to_number(std::string(1, c));
+      ++i;
+    } else if (c == 'b' || c == 'c' || c == 'n' || c == 'o' || c == 'p' || c == 's') {
+      atom.z = symbol_to_number(std::string(1, static_cast<char>(toupper(c))));
+      atom.aromatic = true;
+      ++i;
+    } else if (c == '*') {
+      atom.z = 0;  // wildcard
+      ++i;
+    } else {
+      return -1;
+    }
+    mol_->atoms.push_back(atom);
+    return static_cast<int>(mol_->atoms.size()) - 1;
+  }
+
+  bool parse_bracket(const std::string& body, Atom* atom) {
+    size_t j = 0;
+    atom->bracket = true;
+    // isotope
+    while (j < body.size() && isdigit(body[j])) {
+      atom->isotope = atom->isotope * 10 + (body[j] - '0');
+      ++j;
+    }
+    if (j >= body.size()) return false;
+    // element symbol (possibly aromatic lowercase)
+    if (islower(body[j]) && body[j] != 'h') {
+      std::string sym;
+      sym += static_cast<char>(toupper(body[j]));
+      if (j + 1 < body.size() && islower(body[j + 1]) &&
+          symbol_to_number(sym + body[j + 1]) > 0 &&
+          (sym + body[j + 1] == "Se" || sym + body[j + 1] == "As")) {
+        sym += body[j + 1];
+        ++j;
+      }
+      int z = symbol_to_number(sym);
+      if (z < 0) return false;
+      atom->z = z;
+      atom->aromatic = true;
+      ++j;
+    } else if (isupper(body[j])) {
+      std::string sym(1, body[j]);
+      if (j + 1 < body.size() && islower(body[j + 1]) && body[j + 1] != 'h') {
+        std::string two = sym + body[j + 1];
+        if (symbol_to_number(two) > 0) {
+          sym = two;
+          ++j;
+        }
+      }
+      int z = symbol_to_number(sym);
+      if (z < 0) return false;
+      atom->z = z;
+      ++j;
+    } else if (body[j] == '*') {
+      atom->z = 0;
+      ++j;
+    } else {
+      return false;
+    }
+    atom->explicit_h = 0;
+    // chirality
+    if (j < body.size() && body[j] == '@') {
+      if (j + 1 < body.size() && body[j + 1] == '@') {
+        atom->chirality = CHI_CW;
+        j += 2;
+      } else {
+        atom->chirality = CHI_CCW;
+        ++j;
+        // @TH1 etc. — skip alphanumeric class markers
+        while (j < body.size() && isupper(body[j]) && body[j] != 'H') ++j;
+      }
+    }
+    // hydrogens
+    if (j < body.size() && body[j] == 'H') {
+      ++j;
+      int h = 1;
+      if (j < body.size() && isdigit(body[j])) {
+        h = 0;
+        while (j < body.size() && isdigit(body[j])) {
+          h = h * 10 + (body[j] - '0');
+          ++j;
+        }
+      }
+      atom->explicit_h = h;
+    }
+    // charge
+    while (j < body.size() && (body[j] == '+' || body[j] == '-')) {
+      int sign = body[j] == '+' ? 1 : -1;
+      ++j;
+      if (j < body.size() && isdigit(body[j])) {
+        int mag = 0;
+        while (j < body.size() && isdigit(body[j])) {
+          mag = mag * 10 + (body[j] - '0');
+          ++j;
+        }
+        atom->charge += sign * mag;
+      } else {
+        atom->charge += sign;
+        while (j < body.size() && body[j] == (sign > 0 ? '+' : '-')) {
+          atom->charge += sign;
+          ++j;
+        }
+      }
+    }
+    // atom map (":n") — parsed, ignored
+    if (j < body.size() && body[j] == ':') {
+      ++j;
+      while (j < body.size() && isdigit(body[j])) ++j;
+    }
+    return j == body.size();
+  }
+
+  const std::string& s_;
+  Mol* mol_ = nullptr;
+  std::map<int, RingBond> open_rings_;
+  std::map<int, std::pair<int, int>> ring_placeholder_;
+};
+
+// ---------------------------------------------------------------------------
+// Sanitization: implicit H, valence checks, aromaticity
+// ---------------------------------------------------------------------------
+
+int bond_order_int(BondOrder o) {
+  switch (o) {
+    case BOND_SINGLE: return 1;
+    case BOND_DOUBLE: return 2;
+    case BOND_TRIPLE: return 3;
+    case BOND_AROMATIC: return 1;  // handled specially for aromatic atoms
+  }
+  return 1;
+}
+
+// Ring perception: smallest rings through each ring bond (bounded BFS).
+std::vector<std::vector<int>> find_rings(const Mol& mol, int max_size = 8) {
+  std::vector<std::vector<int>> rings;
+  std::set<std::vector<int>> seen;
+  int n = static_cast<int>(mol.atoms.size());
+  for (int bi = 0; bi < static_cast<int>(mol.bonds.size()); ++bi) {
+    const Bond& bond = mol.bonds[bi];
+    // BFS from bond.a to bond.b avoiding the bond itself.
+    std::vector<int> parent(n, -2), parent_bond(n, -1);
+    std::vector<int> queue;
+    queue.push_back(bond.a);
+    parent[bond.a] = -1;
+    bool found = false;
+    for (size_t qi = 0; qi < queue.size() && !found; ++qi) {
+      int u = queue[qi];
+      for (int nb : mol.atoms[u].bonds) {
+        if (nb == bi || nb < 0) continue;
+        int v = mol.bonds[nb].other(u);
+        if (parent[v] != -2) continue;
+        parent[v] = u;
+        parent_bond[v] = nb;
+        if (v == bond.b) {
+          found = true;
+          break;
+        }
+        queue.push_back(v);
+      }
+    }
+    if (!found) continue;
+    std::vector<int> ring;
+    int cur = bond.b;
+    while (cur != -1) {
+      ring.push_back(cur);
+      cur = parent[cur];
+    }
+    if (static_cast<int>(ring.size()) > max_size) continue;
+    std::vector<int> key = ring;
+    std::sort(key.begin(), key.end());
+    if (seen.insert(key).second) rings.push_back(ring);
+  }
+  return rings;
+}
+
+// Pi-electron contribution of atom `a` within candidate aromatic ring.
+// Returns -1 if the atom disqualifies the ring.
+int pi_contribution(const Mol& mol, int a, const std::set<int>& ring_atoms) {
+  const Atom& atom = mol.atoms[a];
+  if (!can_be_aromatic(atom.z)) return -1;
+  int n_double_in_ring = 0, n_double_exo = 0, n_triple = 0;
+  for (int bidx : atom.bonds) {
+    if (bidx < 0) continue;
+    const Bond& b = mol.bonds[bidx];
+    if (b.order == BOND_TRIPLE) ++n_triple;
+    if (b.order == BOND_DOUBLE || b.order == BOND_AROMATIC) {
+      bool other_in_ring = ring_atoms.count(b.other(a)) > 0;
+      if (b.order == BOND_DOUBLE) {
+        if (other_in_ring) ++n_double_in_ring;
+        else ++n_double_exo;
+      } else if (other_in_ring) {
+        ++n_double_in_ring;  // aromatic bond inside ring: treat as shared pi
+      }
+    }
+  }
+  if (n_triple > 0) return -1;
+  int degree = 0;
+  for (int bidx : atom.bonds) {
+    if (bidx >= 0) degree++;
+  }
+  int total_conn = degree + atom.n_h;
+  if (total_conn > 3) return -1;  // sp3
+  if (n_double_in_ring > 0) return 1;
+  if (n_double_exo > 0) {
+    // Exocyclic double bond: carbon contributes 0 (quinoid), N+ similar.
+    return 0;
+  }
+  // No double bonds: contributes lone pair if available.
+  switch (atom.z) {
+    case 7: case 15: return 2;                       // pyrrole-type N/P
+    case 8: case 16: case 34: return 2;              // furan O / thiophene S
+    case 6: return atom.charge < 0 ? 2 : (atom.charge > 0 ? 0 : -1);
+    case 5: return 0;                                // empty p orbital
+    default: return -1;
+  }
+}
+
+void perceive_aromaticity(Mol* mol) {
+  auto rings = find_rings(*mol, 7);
+  std::vector<bool> ring_is_aromatic(rings.size(), false);
+
+  // Pass 1: per-ring Hueckel test. Iterate since aromatic flags feed back
+  // (aromatic-marked bonds count as in-ring doubles for fused systems).
+  bool changed = true;
+  int iter = 0;
+  while (changed && iter++ < 4) {
+    changed = false;
+    for (size_t r = 0; r < rings.size(); ++r) {
+      if (ring_is_aromatic[r]) continue;
+      std::set<int> ring_atoms(rings[r].begin(), rings[r].end());
+      int pi = 0;
+      bool ok = true;
+      for (int a : rings[r]) {
+        int c = pi_contribution(*mol, a, ring_atoms);
+        if (c < 0) {
+          ok = false;
+          break;
+        }
+        pi += c;
+      }
+      if (ok && pi >= 2 && (pi - 2) % 4 == 0) {
+        ring_is_aromatic[r] = true;
+        changed = true;
+        for (int a : rings[r]) mol->atoms[a].aromatic = true;
+        for (int a : rings[r]) {
+          for (int bidx : mol->atoms[a].bonds) {
+            if (bidx < 0) continue;
+            Bond& b = mol->bonds[bidx];
+            if (ring_atoms.count(b.a) && ring_atoms.count(b.b)) {
+              b.order = BOND_AROMATIC;
+              b.in_aromatic_ring = true;
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+// Kekulization over aromatic subgraph (validity check for aromatic input).
+// Atoms that "need" a double bond must be perfectly matched through aromatic
+// bonds. Backtracking; molecule sizes here are small.
+bool kekulize_check(const Mol& mol) {
+  int n = static_cast<int>(mol.atoms.size());
+  std::vector<int> needs(n, 0);
+  std::vector<std::vector<int>> adj(n);
+  bool any = false;
+  for (int a = 0; a < n; ++a) {
+    const Atom& atom = mol.atoms[a];
+    if (!atom.aromatic) continue;
+    any = true;
+    // Does this atom need one double bond in a kekule structure?
+    int sum_fixed = atom.n_h;
+    int n_arom = 0;
+    for (int bidx : atom.bonds) {
+      if (bidx < 0) continue;
+      const Bond& b = mol.bonds[bidx];
+      if (b.order == BOND_AROMATIC) {
+        ++n_arom;
+        ++sum_fixed;
+      } else {
+        sum_fixed += bond_order_int(b.order);
+      }
+    }
+    int target_valence;
+    switch (atom.z) {
+      case 6: target_valence = 4 + (atom.charge < 0 ? -1 : atom.charge > 0 ? -1 : 0); break;
+      case 7: case 15: target_valence = 3 + (atom.charge > 0 ? 1 : atom.charge < 0 ? -1 : 0); break;
+      case 8: case 16: case 34: target_valence = 2 + (atom.charge > 0 ? 1 : 0); break;
+      case 5: target_valence = 3; break;
+      default: target_valence = sum_fixed;  // permissive
+    }
+    needs[a] = (sum_fixed < target_valence) ? 1 : 0;
+    for (int bidx : atom.bonds) {
+      if (bidx < 0) continue;
+      const Bond& b = mol.bonds[bidx];
+      if (b.order == BOND_AROMATIC) adj[a].push_back(b.other(a));
+    }
+  }
+  if (!any) return true;
+  // Greedy + backtracking perfect matching on atoms with needs==1.
+  std::vector<int> match(n, -1);
+  std::vector<char> visited(n, 0);
+
+  std::function<bool(int)> try_match = [&](int u) -> bool {
+    for (int v : adj[u]) {
+      if (needs[v] != 1 || visited[v]) continue;
+      visited[v] = 1;
+      if (match[v] == -1 || try_match(match[v])) {
+        match[v] = u;
+        match[u] = v;
+        return true;
+      }
+    }
+    return false;
+  };
+
+  for (int u = 0; u < n; ++u) {
+    if (needs[u] == 1 && match[u] == -1) {
+      std::fill(visited.begin(), visited.end(), 0);
+      visited[u] = 1;
+      if (!try_match(u)) return false;
+    }
+  }
+  return true;
+}
+
+// Resolve implicit hydrogens & validate valences. Returns false on invalid.
+bool sanitize(Mol* mol) {
+  // First pass for non-aromatic-perception-dependent H counts so that
+  // aromaticity perception sees correct connectivity.
+  for (size_t i = 0; i < mol->atoms.size(); ++i) {
+    Atom& atom = mol->atoms[i];
+    // Drop unresolved ring placeholders (parser already errors on those).
+    std::vector<int> clean;
+    for (int b : atom.bonds) {
+      if (b >= 0) clean.push_back(b);
+    }
+    atom.bonds = clean;
+  }
+  for (size_t i = 0; i < mol->atoms.size(); ++i) {
+    Atom& atom = mol->atoms[i];
+    if (atom.explicit_h >= 0) {
+      atom.n_h = atom.explicit_h;
+      continue;
+    }
+    if (!is_organic_subset(atom.z)) {
+      if (atom.z == 0) { atom.n_h = 0; continue; }
+      atom.n_h = 0;
+      continue;
+    }
+    if (atom.aromatic) {
+      int degree = static_cast<int>(atom.bonds.size());
+      if (atom.z == 6) {
+        atom.n_h = degree <= 2 ? 1 : 0;
+      } else if (atom.z == 5) {
+        atom.n_h = degree <= 2 ? 1 : 0;
+      } else {
+        atom.n_h = 0;  // pyridine-type n, o, s, p (pyrrole N must be [nH])
+      }
+      continue;
+    }
+    int bond_sum = 0;
+    for (int bidx : atom.bonds) bond_sum += bond_order_int(mol->bonds[bidx].order);
+    auto valences = organic_valences(atom.z);
+    int n_h = 0;
+    bool fits = false;
+    for (int v : valences) {
+      if (bond_sum <= v) {
+        n_h = v - bond_sum;
+        fits = true;
+        break;
+      }
+    }
+    if (!fits) return false;  // hypervalent organic-subset atom => invalid
+    atom.n_h = n_h;
+  }
+
+  perceive_aromaticity(mol);
+
+  // Aromatic atoms written lowercase must belong to a ring.
+  for (size_t i = 0; i < mol->atoms.size(); ++i) {
+    const Atom& atom = mol->atoms[i];
+    if (!atom.aromatic) continue;
+    bool has_arom_bond = false;
+    for (int bidx : atom.bonds) {
+      if (mol->bonds[bidx].order == BOND_AROMATIC) has_arom_bond = true;
+    }
+    if (!has_arom_bond) return false;
+  }
+
+  if (!kekulize_check(*mol)) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Canonical ranking (WL refinement + branch-and-min)
+// ---------------------------------------------------------------------------
+
+std::vector<int> refine_ranks(const Mol& mol, std::vector<int64_t> keys) {
+  int n = static_cast<int>(mol.atoms.size());
+  std::vector<int> ranks(n, 0);
+  // Initial ranks from invariant keys.
+  {
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(),
+              [&](int a, int b) { return keys[a] < keys[b]; });
+    int rank = 0;
+    for (int i = 0; i < n; ++i) {
+      if (i > 0 && keys[order[i]] != keys[order[i - 1]]) ++rank;
+      ranks[order[i]] = rank;
+    }
+  }
+  // Iterative refinement with neighbor multisets.
+  for (int iter = 0; iter < n + 2; ++iter) {
+    std::vector<std::pair<std::vector<int64_t>, int>> sigs(n);
+    for (int i = 0; i < n; ++i) {
+      std::vector<int64_t> nb;
+      for (int bidx : mol.atoms[i].bonds) {
+        const Bond& b = mol.bonds[bidx];
+        nb.push_back(static_cast<int64_t>(ranks[b.other(i)]) * 8 + b.order);
+      }
+      std::sort(nb.begin(), nb.end());
+      nb.insert(nb.begin(), ranks[i]);
+      sigs[i] = {nb, i};
+    }
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int a, int b) { return sigs[a].first < sigs[b].first; });
+    std::vector<int> new_ranks(n, 0);
+    int rank = 0;
+    for (int i = 0; i < n; ++i) {
+      if (i > 0 && sigs[order[i]].first != sigs[order[i - 1]].first) ++rank;
+      new_ranks[order[i]] = rank;
+    }
+    if (new_ranks == ranks) break;
+    ranks = new_ranks;
+  }
+  return ranks;
+}
+
+std::vector<int64_t> initial_keys(const Mol& mol) {
+  std::vector<int64_t> keys(mol.atoms.size());
+  for (size_t i = 0; i < mol.atoms.size(); ++i) {
+    const Atom& a = mol.atoms[i];
+    int64_t k = 0;
+    k = k * 128 + a.z;
+    k = k * 2 + (a.aromatic ? 1 : 0);
+    k = k * 16 + (a.charge + 8);
+    k = k * 16 + std::min(a.n_h, 15);
+    k = k * 16 + std::min<int>(static_cast<int>(a.bonds.size()), 15);
+    k = k * 512 + std::min(a.isotope, 511);
+    keys[i] = k;
+  }
+  return keys;
+}
+
+}  // namespace
+
+// Canonical SMILES writer. Two passes: (1) DFS in canonical-rank order to
+// discover tree edges and ring-closure bonds (assigning ring digits to BOTH
+// endpoints), (2) string emission following the recorded structure.
+namespace writer {
+
+struct AtomPlan {
+  int parent_bond = -1;
+  std::vector<std::pair<int, int>> closures;   // (bond, digit), emission order
+  std::vector<std::pair<int, int>> children;   // (bond, child atom)
+};
+
+struct WriteCtx {
+  const Mol* mol;
+  const std::vector<int>* ranks;
+  std::vector<bool> visited;
+  std::vector<AtomPlan> plan;
+  std::map<std::pair<int, int>, int> ring_digit;  // sorted (a,b) -> digit
+  int next_digit = 1;
+};
+
+std::string atom_token(const Mol& mol, int idx, const std::vector<int>& out_neighbor_order);
+
+const char* bond_symbol(const Mol& mol, const Bond& b) {
+  switch (b.order) {
+    case BOND_DOUBLE: return "=";
+    case BOND_TRIPLE: return "#";
+    case BOND_AROMATIC: return "";
+    case BOND_SINGLE:
+      if (mol.atoms[b.a].aromatic && mol.atoms[b.b].aromatic) return "-";
+      return "";
+  }
+  return "";
+}
+
+// Pass 1: discover structure.
+void plan_atom(WriteCtx* ctx, int atom_idx, int parent_bond) {
+  const Mol& mol = *ctx->mol;
+  const Atom& atom = mol.atoms[atom_idx];
+  ctx->visited[atom_idx] = true;
+  ctx->plan[atom_idx].parent_bond = parent_bond;
+
+  struct Nbr {
+    int bond;
+    int atom;
+    int rank;
+  };
+  std::vector<Nbr> nbrs;
+  for (int bidx : atom.bonds) {
+    if (bidx == parent_bond) continue;
+    const Bond& b = mol.bonds[bidx];
+    nbrs.push_back({bidx, b.other(atom_idx), (*ctx->ranks)[b.other(atom_idx)]});
+  }
+  std::sort(nbrs.begin(), nbrs.end(), [](const Nbr& x, const Nbr& y) {
+    if (x.rank != y.rank) return x.rank < y.rank;
+    return x.atom < y.atom;
+  });
+
+  for (const auto& nb : nbrs) {
+    if (ctx->visited[nb.atom]) {
+      auto key = std::make_pair(std::min(atom_idx, nb.atom), std::max(atom_idx, nb.atom));
+      if (ctx->ring_digit.count(key)) continue;  // already recorded from other side
+      int digit = ctx->next_digit++;
+      ctx->ring_digit[key] = digit;
+      // Record at both endpoints; emission order = assignment order.
+      ctx->plan[nb.atom].closures.push_back({nb.bond, digit});
+      ctx->plan[atom_idx].closures.push_back({nb.bond, digit});
+    } else {
+      ctx->plan[atom_idx].children.push_back({nb.bond, nb.atom});
+      plan_atom(ctx, nb.atom, nb.bond);
+    }
+  }
+}
+
+// Pass 2: emit.
+void emit_atom(const WriteCtx& ctx, int atom_idx, std::string* out) {
+  const Mol& mol = *ctx.mol;
+  const AtomPlan& plan = ctx.plan[atom_idx];
+
+  std::vector<int> emit_order;
+  if (plan.parent_bond >= 0) emit_order.push_back(mol.bonds[plan.parent_bond].other(atom_idx));
+  for (const auto& cl : plan.closures) emit_order.push_back(mol.bonds[cl.first].other(atom_idx));
+  for (const auto& ch : plan.children) emit_order.push_back(ch.second);
+
+  *out += atom_token(mol, atom_idx, emit_order);
+
+  for (const auto& cl : plan.closures) {
+    // Matching bond symbols on both closure sides are legal SMILES.
+    const Bond& b = mol.bonds[cl.first];
+    *out += bond_symbol(mol, b);
+    if (cl.second >= 10) {
+      *out += "%";
+      *out += std::to_string(cl.second);
+    } else {
+      *out += std::to_string(cl.second);
+    }
+  }
+
+  for (size_t c = 0; c < plan.children.size(); ++c) {
+    const Bond& b = mol.bonds[plan.children[c].first];
+    bool last = (c + 1 == plan.children.size());
+    if (!last) *out += "(";
+    *out += bond_symbol(mol, b);
+    emit_atom(ctx, plan.children[c].second, out);
+    if (!last) *out += ")";
+  }
+}
+
+std::string write_fragment(const Mol& mol, const std::vector<int>& ranks, int root) {
+  WriteCtx ctx;
+  ctx.mol = &mol;
+  ctx.ranks = &ranks;
+  ctx.visited.assign(mol.atoms.size(), false);
+  ctx.plan.assign(mol.atoms.size(), AtomPlan());
+  plan_atom(&ctx, root, -1);
+  std::string out;
+  emit_atom(ctx, root, &out);
+  return out;
+}
+
+// Permutation parity between written neighbor order and emitted order.
+int permutation_parity(const std::vector<int>& from, const std::vector<int>& to) {
+  std::vector<int> perm;
+  for (int t : to) {
+    auto it = std::find(from.begin(), from.end(), t);
+    perm.push_back(static_cast<int>(it - from.begin()));
+  }
+  int parity = 0;
+  std::vector<int> p = perm;
+  for (size_t i = 0; i < p.size(); ++i) {
+    while (p[i] != static_cast<int>(i)) {
+      std::swap(p[i], p[p[i]]);
+      parity ^= 1;
+    }
+  }
+  return parity;
+}
+
+std::string atom_token(const Mol& mol, int idx, const std::vector<int>& emit_order) {
+  const Atom& atom = mol.atoms[idx];
+  std::string sym = number_to_symbol(atom.z);
+  if (atom.z == 0) sym = "*";
+  bool lower = atom.aromatic && is_organic_subset(atom.z) && atom.z != 9 &&
+               atom.z != 17 && atom.z != 35 && atom.z != 53;
+  std::string elem = sym;
+  if (lower) {
+    for (auto& ch : elem) ch = static_cast<char>(tolower(ch));
+  }
+
+  // Would the organic-subset shorthand reproduce n_h?
+  bool needs_bracket = atom.isotope != 0 || atom.charge != 0 ||
+                       atom.chirality != CHI_NONE || !is_organic_subset(atom.z);
+  if (!needs_bracket) {
+    // Recompute default implicit H for the shorthand form.
+    int default_h;
+    if (atom.aromatic) {
+      int degree = static_cast<int>(atom.bonds.size());
+      if (atom.z == 6 || atom.z == 5) default_h = degree <= 2 ? 1 : 0;
+      else default_h = 0;
+    } else {
+      int bond_sum = 0;
+      for (int bidx : atom.bonds) bond_sum += bond_order_int(mol.bonds[bidx].order);
+      default_h = 0;
+      for (int v : organic_valences(atom.z)) {
+        if (bond_sum <= v) {
+          default_h = v - bond_sum;
+          break;
+        }
+      }
+    }
+    if (default_h != atom.n_h) needs_bracket = true;
+  }
+
+  if (!needs_bracket) return elem;
+
+  std::string token = "[";
+  if (atom.isotope) token += std::to_string(atom.isotope);
+  token += elem;
+  if (atom.chirality != CHI_NONE) {
+    // Adjust parity: written order vs emitted order.
+    std::vector<int> written_order;
+    for (int bidx : atom.bonds) written_order.push_back(mol.bonds[bidx].other(idx));
+    Chirality chi = atom.chirality;
+    if (written_order.size() == emit_order.size() && written_order.size() >= 3) {
+      int parity = permutation_parity(written_order, emit_order);
+      if (parity) chi = (chi == CHI_CW) ? CHI_CCW : CHI_CW;
+    }
+    token += (chi == CHI_CW) ? "@@" : "@";
+  }
+  if (atom.n_h == 1) token += "H";
+  else if (atom.n_h > 1) token += "H" + std::to_string(atom.n_h);
+  if (atom.charge > 0) token += atom.charge == 1 ? "+" : "+" + std::to_string(atom.charge);
+  if (atom.charge < 0) token += atom.charge == -1 ? "-" : "-" + std::to_string(-atom.charge);
+  token += "]";
+  return token;
+}
+
+}  // namespace writer
+
+namespace {
+
+// Connected components.
+std::vector<std::vector<int>> components(const Mol& mol) {
+  int n = static_cast<int>(mol.atoms.size());
+  std::vector<int> comp(n, -1);
+  std::vector<std::vector<int>> out;
+  for (int i = 0; i < n; ++i) {
+    if (comp[i] >= 0) continue;
+    std::vector<int> stack{i}, members;
+    comp[i] = static_cast<int>(out.size());
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      members.push_back(u);
+      for (int bidx : mol.atoms[u].bonds) {
+        int v = mol.bonds[bidx].other(u);
+        if (comp[v] < 0) {
+          comp[v] = comp[i];
+          stack.push_back(v);
+        }
+      }
+    }
+    out.push_back(members);
+  }
+  return out;
+}
+
+std::string canonical_fragment(const Mol& mol, const std::vector<int>& members);
+
+// Generate the canonical SMILES for one fragment given fully-resolved ranks:
+// root = atom with minimum rank among members.
+std::string fragment_with_ranks(const Mol& mol, const std::vector<int>& members,
+                                const std::vector<int>& ranks) {
+  // Prefer a terminal atom as root (yields linear chains like "CCO" instead
+  // of "C(C)O"); still input-order independent since the choice is by
+  // (degree > 1, canonical rank).
+  auto key = [&](int m) {
+    int terminal = mol.atoms[m].bonds.size() > 1 ? 1 : 0;
+    return std::make_pair(terminal, ranks[m]);
+  };
+  int root = members[0];
+  for (int m : members) {
+    if (key(m) < key(root)) root = m;
+  }
+  return writer::write_fragment(mol, ranks, root);
+}
+
+// Branch-and-min canonicalisation: refine; if a tie class remains, split on
+// each member of the first (lowest-rank) tied class and take the lexicographic
+// minimum of the resulting strings. Recursion bounded by `budget`.
+std::string canonicalize_recursive(const Mol& mol, const std::vector<int>& members,
+                                   std::vector<int64_t> keys, int* budget) {
+  std::vector<int> ranks = refine_ranks(mol, keys);
+
+  // Find the first tied rank class within this fragment.
+  std::map<int, std::vector<int>> by_rank;
+  for (int m : members) by_rank[ranks[m]].push_back(m);
+  const std::vector<int>* tied = nullptr;
+  for (auto& kv : by_rank) {
+    if (kv.second.size() > 1) {
+      tied = &kv.second;
+      break;
+    }
+  }
+  if (tied == nullptr || *budget <= 0) {
+    return fragment_with_ranks(mol, members, ranks);
+  }
+  // Try individualizing each tied atom; take minimum string.
+  std::string best;
+  int tries = 0;
+  for (int cand : *tied) {
+    if (tries++ >= 8) break;
+    --*budget;
+    std::vector<int64_t> new_keys(mol.atoms.size());
+    for (size_t i = 0; i < mol.atoms.size(); ++i) new_keys[i] = ranks[i] * 2 + 1;
+    new_keys[cand] = ranks[cand] * 2;  // single this atom out
+    std::string s = canonicalize_recursive(mol, members, new_keys, budget);
+    if (best.empty() || s < best) best = s;
+  }
+  return best;
+}
+
+std::string canonical_fragment(const Mol& mol, const std::vector<int>& members) {
+  int budget = 64;
+  return canonicalize_recursive(mol, members, initial_keys(mol), &budget);
+}
+
+bool parse_and_sanitize(const char* smiles, Mol* mol) {
+  if (smiles == nullptr) return false;
+  std::string s(smiles);
+  // strip whitespace
+  std::string stripped;
+  for (char c : s) {
+    if (!isspace(static_cast<unsigned char>(c))) stripped += c;
+  }
+  if (stripped.empty()) return false;
+  Parser parser(stripped);
+  if (!parser.parse(mol)) return false;
+  return sanitize(mol);
+}
+
+std::string mol_to_canonical(const Mol& mol) {
+  auto comps = components(mol);
+  std::vector<std::string> frags;
+  for (const auto& members : comps) {
+    frags.push_back(canonical_fragment(mol, members));
+  }
+  std::sort(frags.begin(), frags.end());
+  std::string out;
+  for (size_t i = 0; i < frags.size(); ++i) {
+    if (i) out += ".";
+    out += frags[i];
+  }
+  return out;
+}
+
+std::string mol_formula(const Mol& mol) {
+  std::map<std::string, int> counts;
+  int h = 0, charge = 0;
+  for (const auto& atom : mol.atoms) {
+    if (atom.z == 1) {
+      h += 1 + atom.n_h;
+    } else if (atom.z > 0) {
+      counts[number_to_symbol(atom.z)] += 1;
+      h += atom.n_h;
+    }
+    charge += atom.charge;
+  }
+  std::string out;
+  auto append = [&out](const std::string& sym, int n) {
+    out += sym;
+    if (n > 1) out += std::to_string(n);
+  };
+  // Hill order.
+  if (counts.count("C")) {
+    append("C", counts["C"]);
+    counts.erase("C");
+    if (h > 0) append("H", h);
+  } else if (h > 0) {
+    counts["H"] += h;
+  }
+  for (const auto& kv : counts) append(kv.first, kv.second);
+  if (charge > 0) out += charge == 1 ? "+" : "+" + std::to_string(charge);
+  if (charge < 0) out += charge == -1 ? "-" : "-" + std::to_string(-charge);
+  return out;
+}
+
+std::string random_fragment(const Mol& mol, const std::vector<int>& members,
+                            std::mt19937* rng) {
+  // Random ranks induce a random DFS order.
+  std::vector<int> ranks(mol.atoms.size());
+  for (size_t i = 0; i < ranks.size(); ++i) ranks[i] = static_cast<int>(i);
+  std::shuffle(ranks.begin(), ranks.end(), *rng);
+  int root = members[(*rng)() % members.size()];
+  return writer::write_fragment(mol, ranks, root);
+}
+
+int copy_out(const std::string& s, char* out, int out_len) {
+  if (static_cast<int>(s.size()) + 1 > out_len) return -2;
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 on parse/sanitize failure, -2 buffer too small.
+int afm_canonicalize(const char* smiles, char* out, int out_len) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  return copy_out(mol_to_canonical(mol), out, out_len);
+}
+
+int afm_mol_formula(const char* smiles, char* out, int out_len) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  return copy_out(mol_formula(mol), out, out_len);
+}
+
+int afm_parse_ok(const char* smiles) {
+  Mol mol;
+  return parse_and_sanitize(smiles, &mol) ? 1 : 0;
+}
+
+int afm_random_smiles(const char* smiles, unsigned seed, char* out, int out_len) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  std::mt19937 rng(seed);
+  auto comps = components(mol);
+  std::string result;
+  for (size_t i = 0; i < comps.size(); ++i) {
+    if (i) result += ".";
+    result += random_fragment(mol, comps[i], &rng);
+  }
+  return copy_out(result, out, out_len);
+}
+
+// Atom counts for guided decoding. `zs` is an array of atomic numbers of
+// length n; counts[i] receives the count of that element (H includes
+// implicit hydrogens).
+int afm_atom_counts(const char* smiles, const int* zs, int n, int* counts) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  std::map<int, int> by_z;
+  int h = 0;
+  for (const auto& atom : mol.atoms) {
+    if (atom.z == 1) h += 1 + atom.n_h;
+    else {
+      by_z[atom.z] += 1;
+      h += atom.n_h;
+    }
+  }
+  by_z[1] = h;
+  for (int i = 0; i < n; ++i) {
+    auto it = by_z.find(zs[i]);
+    counts[i] = it == by_z.end() ? 0 : it->second;
+  }
+  return 0;
+}
+
+}  // extern "C"
