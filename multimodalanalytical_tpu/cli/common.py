@@ -1,0 +1,128 @@
+"""Shared CLI pipeline pieces (dataset -> preprocessors -> loaders -> model).
+
+The composition mirrors the reference call stacks (reference
+cli/training.py:44-258, cli/predict.py:36-184) on TPU-native building blocks.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+from ..configuration import DEFAULT_SETTINGS
+from ..data.collator import MultiModalCollator
+from ..data.data_utils import (
+    fit_preprocessors,
+    load_preprocessors_artifact,
+    sample_rows,
+    save_preprocessors,
+)
+from ..data.datasets import IterableDatasetWithLength, TableDataset
+from ..models import ModelConfig, Seq2SeqModel, resolve_model_config
+from ..training.loader import DataLoader, subsample_dataset
+
+logger = logging.getLogger(__name__)
+
+
+def default_configs_dir() -> Path:
+    return Path(__file__).resolve().parents[2] / "configs"
+
+
+def sample_train_columns(train_set) -> Dict[str, Any]:
+    """<=10k-row sample used for preprocessor/length fitting
+    (reference data_utils.py:49-59)."""
+    if isinstance(train_set, IterableDatasetWithLength):
+        table = train_set.take(min(DEFAULT_SETTINGS.default_samples, len(train_set)))
+        return table.columns
+    assert isinstance(train_set, TableDataset)
+    idx = sample_rows(len(train_set))
+    return train_set.slice_columns(idx)
+
+
+def build_preprocessors(
+    config: Dict[str, Any],
+    data_config: Dict[str, Any],
+    train_set,
+) -> Tuple[Dict[str, Any], Dict[str, Any], Path]:
+    """Load the preprocessor artifact if present, else fit + save."""
+    if config.get("preprocessor_path"):
+        artifact_path = Path(config["preprocessor_path"])
+    else:
+        artifact_path = (
+            Path(config["working_dir"]) / config["job_name"] / "preprocessor.json"
+        )
+    if artifact_path.is_file():
+        logger.info("Loading existing preprocessor from: %s", artifact_path)
+        data_config, preprocessors = load_preprocessors_artifact(artifact_path)
+    else:
+        logger.info("No existing preprocessor found at: %s", artifact_path)
+        sampled = sample_train_columns(train_set)
+        data_config, preprocessors = fit_preprocessors(sampled, data_config)
+        save_preprocessors(artifact_path, data_config, preprocessors)
+    return data_config, preprocessors, artifact_path
+
+
+def build_collator(
+    data_config: Dict[str, Any],
+    preprocessors: Dict[str, Any],
+    train_set,
+    batch_size: int,
+    extra_columns=None,
+) -> MultiModalCollator:
+    collator = MultiModalCollator(
+        preprocessors=preprocessors,
+        data_config=data_config,
+        extra_columns=extra_columns,
+        pad_to_batch_size=batch_size,
+    )
+    sampled = sample_train_columns(train_set)
+    collator.fit_lengths(sampled)
+    return collator
+
+
+def build_loaders(
+    dataset_dict: Dict[str, Any],
+    collator: MultiModalCollator,
+    batch_size: int,
+    seed: int,
+) -> Dict[str, DataLoader]:
+    loaders = {}
+    if "train" in dataset_dict:
+        loaders["train"] = DataLoader(
+            dataset_dict["train"], collator, batch_size,
+            shuffle=isinstance(dataset_dict["train"], TableDataset), seed=seed,
+        )
+    if "validation" in dataset_dict:
+        loaders["validation"] = DataLoader(
+            subsample_dataset(dataset_dict["validation"], 10000, seed),
+            collator, batch_size, shuffle=False,
+        )
+    if "test" in dataset_dict:
+        loaders["test"] = DataLoader(
+            subsample_dataset(dataset_dict["test"], 10000, seed),
+            collator, batch_size, shuffle=False,
+        )
+    return loaders
+
+
+def build_model(
+    model_config_dict: Dict[str, Any],
+    data_config: Dict[str, Any],
+    target_modality: str,
+    tokenizer,
+) -> Tuple[Seq2SeqModel, ModelConfig]:
+    cfg = resolve_model_config(
+        model_config_dict,
+        vocab_size=tokenizer.vocab_size,
+        pad_token_id=tokenizer.pad_token_id,
+        bos_token_id=tokenizer.bos_token_id,
+        eos_token_id=tokenizer.eos_token_id,
+    )
+    model = Seq2SeqModel(
+        config=cfg,
+        data_config=data_config,
+        target_modality=target_modality,
+        multimodal_norm=model_config_dict.get("multimodal_norm", True),
+    )
+    return model, cfg

@@ -1,0 +1,508 @@
+"""Dataset loading, split policies and streaming mixture synthesis.
+
+Re-implements reference src/analytical_fm/data/datasets.py:31-416 on plain
+pyarrow + numpy (no HF ``datasets`` dependency): a dataset is a column dict.
+
+Split policies (reference datasets.py:144-291, 327-375):
+  * ``random``        — 5-fold KFold + capped 10% validation split
+  * ``func_group_split`` — stratified by sorted functional-group-name string
+  * ``unique_target`` — KFold over unique target values
+  * ``test_only``     — everything into test (inference mode)
+  * ``given_splits``  — pre-split train/validation/test parquet files
+
+Mixture synthesis (reference datasets.py:31-141): on-the-fly IR mixtures of
+``n_compounds`` spectra with configurable ratios, yielding one sample per
+component with the pure spectrum as alignment target.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from itertools import zip_longest
+from pathlib import Path
+from typing import Any, Callable, Dict, Generator, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..configuration import DEFAULT_SETTINGS
+from .augmentations import augment
+
+logger = logging.getLogger(__name__)
+
+
+class TableDataset:
+    """Column-oriented in-memory dataset."""
+
+    def __init__(self, columns: Dict[str, List[Any]]):
+        lengths = {len(v) for v in columns.values()}
+        if len(lengths) > 1:
+            raise ValueError(f"Ragged columns: { {k: len(v) for k, v in columns.items()} }")
+        self.columns = columns
+        self._length = lengths.pop() if lengths else 0
+
+    def __len__(self) -> int:
+        return self._length
+
+    @property
+    def column_names(self) -> List[str]:
+        return list(self.columns)
+
+    def __getitem__(self, column: str) -> List[Any]:
+        return self.columns[column]
+
+    def select(self, indices: Sequence[int]) -> "TableDataset":
+        idx = np.asarray(indices)
+        return TableDataset({k: [v[i] for i in idx] for k, v in self.columns.items()})
+
+    def select_columns(self, names: Sequence[str]) -> "TableDataset":
+        return TableDataset({k: self.columns[k] for k in names if k in self.columns})
+
+    def rename_columns(self, mapping: Dict[str, str]) -> "TableDataset":
+        return TableDataset({mapping.get(k, k): v for k, v in self.columns.items()})
+
+    def concat(self, other: "TableDataset") -> "TableDataset":
+        keys = [k for k in self.columns if k in other.columns]
+        return TableDataset({k: list(self.columns[k]) + list(other.columns[k]) for k in keys})
+
+    def rows(self, indices: Optional[Sequence[int]] = None) -> Iterator[Dict[str, Any]]:
+        rng = range(self._length) if indices is None else indices
+        for i in rng:
+            yield {k: v[i] for k, v in self.columns.items()}
+
+    def slice_columns(self, indices: Sequence[int]) -> Dict[str, List[Any]]:
+        return {k: [v[i] for i in indices] for k, v in self.columns.items()}
+
+
+class IterableDatasetWithLength:
+    """Generator-backed dataset with a declared length
+    (reference data_utils.py:18-37)."""
+
+    def __init__(
+        self,
+        generator_fn: Callable[..., Generator[Dict[str, Any], None, None]],
+        length: int,
+        generator_args: Optional[Dict[str, Any]] = None,
+        split: str = "train",
+    ):
+        self.generator_fn = generator_fn
+        self.generator_args = generator_args or {}
+        self._length = length
+        self.split = split
+
+    def __len__(self) -> int:
+        return self._length
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        count = 0
+        for sample in self.generator_fn(**self.generator_args):
+            if count >= self._length:
+                break
+            yield sample
+            count += 1
+
+    def take(self, n: int) -> TableDataset:
+        columns: Dict[str, List[Any]] = {}
+        for i, sample in enumerate(self):
+            if i >= n:
+                break
+            for k, v in sample.items():
+                columns.setdefault(k, []).append(v)
+        return TableDataset(columns)
+
+
+def load_parquet_dir(
+    data_path: str, columns: Optional[Sequence[str]] = None
+) -> Dict[str, TableDataset]:
+    """Load all parquet files in a directory.
+
+    Files whose names start with train/valid/test map to those splits
+    (given_splits support); everything else lands in split "data".
+    """
+    import pyarrow.parquet as pq
+
+    path = Path(data_path)
+    if not path.is_dir():
+        raise ValueError(
+            "Data path must specify path to directory containing the dataset "
+            "files as parquet."
+        )
+    split_tables: Dict[str, List[Any]] = {}
+    for file in sorted(path.glob("*.parquet")):
+        name = file.stem.lower()
+        if name.startswith("train"):
+            split = "train"
+        elif name.startswith("valid"):
+            split = "validation"
+        elif name.startswith("test"):
+            split = "test"
+        else:
+            split = "data"
+        table = pq.read_table(file, columns=list(columns) if columns else None)
+        split_tables.setdefault(split, []).append(table)
+
+    out: Dict[str, TableDataset] = {}
+    for split, tables in split_tables.items():
+        import pyarrow as pa
+
+        table = pa.concat_tables(tables)
+        out[split] = TableDataset(
+            {name: table.column(name).to_pylist() for name in table.column_names}
+        )
+    if not out:
+        raise ValueError(f"No parquet files found under {data_path}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Split policies
+# ---------------------------------------------------------------------------
+
+def _kfold_indices(n: int, n_splits: int, seed: int) -> List[np.ndarray]:
+    """sklearn-KFold-equivalent shuffled fold assignment."""
+    rng = np.random.RandomState(seed)
+    indices = np.arange(n)
+    rng.shuffle(indices)
+    fold_sizes = np.full(n_splits, n // n_splits, dtype=int)
+    fold_sizes[: n % n_splits] += 1
+    folds, current = [], 0
+    for size in fold_sizes:
+        folds.append(np.sort(indices[current : current + size]))
+        current += size
+    return folds
+
+
+def _train_test_split(
+    indices: np.ndarray, test_size: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    shuffled = indices.copy()
+    rng.shuffle(shuffled)
+    return shuffled[test_size:], shuffled[:test_size]
+
+
+def split(dataset: TableDataset, cv_split: int = 0, seed: int = 3245) -> Dict[str, TableDataset]:
+    """Random 5-fold split + capped validation (reference datasets.py:144-173)."""
+    folds = _kfold_indices(len(dataset), 5, seed)
+    test_indices = folds[cv_split]
+    train_indices = np.setdiff1d(np.arange(len(dataset)), test_indices)
+
+    val_size = min(int(0.1 * len(train_indices)), DEFAULT_SETTINGS.default_val_set_size)
+    train_indices, val_indices = _train_test_split(train_indices, val_size, seed)
+
+    return {
+        "train": dataset.select(train_indices),
+        "test": dataset.select(test_indices),
+        "validation": dataset.select(val_indices),
+    }
+
+
+def func_split(
+    dataset: TableDataset, cv_split: int = 0, seed: int = 3453
+) -> Dict[str, TableDataset]:
+    """Stratify by sorted functional-group-name strings; singleton groups go
+    to train (reference datasets.py:176-234)."""
+    names = [".".join(sorted(x)) for x in dataset["functional_group_names"]]
+    counts: Dict[str, int] = {}
+    for name in names:
+        counts[name] = counts.get(name, 0) + 1
+
+    singles = np.asarray([i for i, n in enumerate(names) if counts[n] == 1])
+    multis = np.asarray([i for i, n in enumerate(names) if counts[n] > 1])
+    multi_labels = np.asarray([names[i] for i in multis])
+
+    if cv_split == -1:
+        train_idx, test_idx = _stratified_split(multis, multi_labels, 0.1, 3453)
+    else:
+        train_idx, test_idx = _stratified_kfold(multis, multi_labels, 10, cv_split, seed)
+
+    val_size = min(int(0.05 * len(train_idx)), DEFAULT_SETTINGS.default_val_set_size)
+    train_idx, val_idx = _train_test_split(train_idx, val_size, seed)
+    train_idx = np.concatenate([train_idx, singles]) if len(singles) else train_idx
+
+    return {
+        "train": dataset.select(train_idx.astype(int)),
+        "test": dataset.select(test_idx.astype(int)),
+        "validation": dataset.select(val_idx.astype(int)),
+    }
+
+
+def _stratified_kfold(indices, labels, n_splits, fold, seed):
+    rng = np.random.RandomState(seed)
+    test_mask = np.zeros(len(indices), dtype=bool)
+    for label in np.unique(labels):
+        members = np.where(labels == label)[0]
+        rng.shuffle(members)
+        fold_sizes = np.full(n_splits, len(members) // n_splits, dtype=int)
+        fold_sizes[: len(members) % n_splits] += 1
+        start = fold_sizes[:fold].sum()
+        test_mask[members[start : start + fold_sizes[fold]]] = True
+    return indices[~test_mask], indices[test_mask]
+
+
+def _stratified_split(indices, labels, test_fraction, seed):
+    rng = np.random.RandomState(seed)
+    test_mask = np.zeros(len(indices), dtype=bool)
+    for label in np.unique(labels):
+        members = np.where(labels == label)[0]
+        rng.shuffle(members)
+        n_test = max(1, int(round(len(members) * test_fraction)))
+        if n_test >= len(members):
+            n_test = len(members) - 1
+        test_mask[members[:n_test]] = True
+    return indices[~test_mask], indices[test_mask]
+
+
+def target_split(
+    dataset: TableDataset, target_column: str, cv_split: int = 0, seed: int = 3453
+) -> Dict[str, TableDataset]:
+    """KFold over *unique* target values so no target leaks across splits
+    (reference datasets.py:255-291)."""
+    all_targets = dataset[target_column]
+    unique_targets = np.unique(np.asarray(all_targets, dtype=object))
+
+    folds = _kfold_indices(len(unique_targets), 5, seed)
+    test_positions = folds[cv_split]
+    train_positions = np.setdiff1d(np.arange(len(unique_targets)), test_positions)
+
+    val_size = min(
+        int(0.05 * len(train_positions)), DEFAULT_SETTINGS.default_val_set_size
+    )
+    train_positions, val_positions = _train_test_split(train_positions, val_size, seed)
+
+    train_targets = set(unique_targets[train_positions].tolist())
+    val_targets = set(unique_targets[val_positions].tolist())
+    test_targets = set(unique_targets[test_positions].tolist())
+
+    def select_by(targets: set) -> TableDataset:
+        idx = [i for i, t in enumerate(all_targets) if t in targets]
+        return dataset.select(idx)
+
+    return {
+        "train": select_by(train_targets),
+        "test": select_by(test_targets),
+        "validation": select_by(val_targets),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mixture synthesis
+# ---------------------------------------------------------------------------
+
+def normalize_spectrum(spectrum: np.ndarray) -> np.ndarray:
+    spectrum = np.asarray(spectrum, dtype=np.float64)
+    min_val, max_val = spectrum.min(), spectrum.max()
+    clipped = np.maximum(spectrum, 0)
+    if max_val - min_val == 0:
+        return np.zeros_like(spectrum)
+    return (clipped - min_val) / (max_val - min_val)
+
+
+def mix_spectra(
+    dataset: TableDataset,
+    mix_config: Dict[str, Any],
+    split: str,
+    seed: int = 0,
+) -> Generator[Dict[str, Any], None, None]:
+    """Yield synthetic mixture samples (reference datasets.py:58-141)."""
+    rng = np.random.RandomState(seed or DEFAULT_SETTINGS.default_seed)
+
+    n_compounds = mix_config["n_compounds"]
+    compounds_ratio = mix_config.get("compounds_ratio")
+    parallel_samples = mix_config["parallel_samples"]
+    max_n_samples = mix_config[f"{split}_max_n_samples"]
+    normalize = mix_config["normalize"]
+    mixed = mix_config.get("mixed", False)
+
+    if max_n_samples // parallel_samples < 1:
+        parallel_samples = max_n_samples
+    if compounds_ratio is None:
+        compounds_ratio = [1 / n_compounds] * n_compounds
+    if len(compounds_ratio) != n_compounds or not math.isclose(sum(compounds_ratio), 1):
+        raise ValueError(
+            f"Invalid compound ratios: expected {n_compounds} compounds with "
+            f"ratios summing to 1; got {compounds_ratio}."
+        )
+
+    smiles_col = dataset["Smiles"]
+    formula_col = dataset["Formula"]
+    ir_col = [np.asarray(s, dtype=np.float64) for s in dataset["IR"]]
+    n_rows = len(dataset)
+    num_expected = math.perm(n_rows, n_compounds)
+
+    if mixed:
+        if compounds_ratio != [1 / n_compounds] * n_compounds:
+            raise ValueError(
+                "Mixed mode is only supported with equal compound ratios."
+            )
+        mock = [0.0] * len(ir_col[0])
+        for i in range(n_rows):
+            spectrum = normalize_spectrum(ir_col[i]) if normalize else ir_col[i]
+            yield {
+                "Smiles": smiles_col[i],
+                "Formula": formula_col[i],
+                "IR": spectrum.tolist() if isinstance(spectrum, np.ndarray) else spectrum,
+                "Additional_smiles": "mock",
+                "Percentage": f"{1 / n_compounds}",
+                "IR_target": mock,
+            }
+        return
+
+    ratios = np.asarray(compounds_ratio)
+    for n in range(max_n_samples // parallel_samples):
+        random_indices = rng.choice(n_rows, size=(parallel_samples, n_compounds))
+        random_indices = np.unique(random_indices, axis=0)
+        valid = np.asarray([len(set(row)) == len(row) for row in random_indices])
+        random_indices = random_indices[valid]
+
+        if n * parallel_samples + parallel_samples >= num_expected:
+            break
+
+        for idx in random_indices:
+            spectra = np.stack([ir_col[s] for s in idx])
+            combined = np.average(spectra, weights=ratios, axis=0)
+            if normalize:
+                combined = normalize_spectrum(combined)
+            if combined.shape[0] != 1800:  # pad real data
+                combined = np.concatenate([combined, np.zeros(1800 - combined.shape[0])])
+            for i in range(n_compounds):
+                if ratios[i] == 0:
+                    continue
+                yield {
+                    "Smiles": smiles_col[idx[i]],
+                    "Formula": formula_col[idx[i]],
+                    "IR": combined.tolist(),
+                    "Additional_smiles": ",".join(
+                        smiles_col[idx[j]] for j in range(n_compounds) if j != i
+                    ),
+                    "Percentage": f"{ratios[i]}",
+                    "IR_target": ir_col[idx[i]].tolist(),
+                }
+
+
+def multi_config_mix(
+    dataset: TableDataset,
+    mixture_config: Dict[str, Any],
+    split: str,
+    seed: int = 0,
+) -> Generator[Dict[str, Any], None, None]:
+    """Round-robin over per-mode mixture generators
+    (reference datasets.py:31-46)."""
+    generators = [
+        mix_spectra(dataset, mixture_config[mode], split, seed)
+        for mode in mixture_config
+    ]
+    for samples in zip_longest(*generators, fillvalue=None):
+        for sample in samples:
+            if sample is not None:
+                yield sample
+
+
+# ---------------------------------------------------------------------------
+# Top-level builder
+# ---------------------------------------------------------------------------
+
+def build_dataset_multimodal(
+    data_config: Dict[str, Any],
+    data_path: str,
+    splitting: str,
+    cv_split: int,
+    augment_config: Optional[Dict[str, Any]] = None,
+    num_cpu: int = 7,
+    mixture_config: Optional[Dict[str, Any]] = None,
+):
+    """Load parquet dir, split, augment, rename columns -> modality names and
+    optionally wrap into streaming mixture datasets
+    (reference datasets.py:294-416)."""
+    relevant_columns = set()
+    for modality, cfg in data_config.items():
+        column = cfg["column"]
+        if isinstance(column, str):
+            if column not in ("percentage", "") and not cfg.get("alignment"):
+                relevant_columns.add(column)
+        elif isinstance(column, list):
+            relevant_columns.update(column)
+        else:
+            raise ValueError(
+                f"Expected column to be either list or str for modality: {modality}"
+            )
+    if splitting == "func_group_split":
+        relevant_columns.add("functional_group_names")
+
+    logger.info("Loading dataset from %s", data_path)
+    split_tables = load_parquet_dir(data_path, columns=None)
+    # Column projection (tolerate missing metadata columns per split file).
+    split_tables = {
+        k: v.select_columns([c for c in v.column_names if c in relevant_columns])
+        for k, v in split_tables.items()
+    }
+    logger.info("Dataset loaded")
+
+    def combined() -> TableDataset:
+        tables = list(split_tables.values())
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.concat(t)
+        return out
+
+    if splitting == "test_only":
+        whole = combined()
+        dataset_dict = {"test": whole, "train": whole, "validation": whole}
+    elif splitting == "func_group_split":
+        dataset_dict = func_split(
+            combined(), cv_split=cv_split, seed=DEFAULT_SETTINGS.default_seed
+        )
+    elif splitting == "unique_target":
+        target_column = ""
+        for cfg in data_config.values():
+            if cfg["target"] and not cfg.get("alignment"):
+                target_column = cfg["column"]
+                break
+        dataset_dict = target_split(
+            combined(), target_column, cv_split=cv_split,
+            seed=DEFAULT_SETTINGS.default_seed,
+        )
+    elif splitting == "random":
+        dataset_dict = split(combined(), cv_split)
+    elif splitting == "given_splits" and len(split_tables) == 3:
+        if set(split_tables) != {"train", "validation", "test"}:
+            raise ValueError(
+                f"Expected ['train', 'validation', 'test'] but found "
+                f"{list(split_tables)}."
+            )
+        dataset_dict = split_tables
+    else:
+        raise ValueError(f"Unknown split {splitting}.")
+
+    dataset_dict["train"] = augment(dataset_dict["train"], augment_config, num_cpu)
+
+    rename = {}
+    for modality, cfg in data_config.items():
+        column = cfg["column"]
+        if isinstance(column, str) and column not in ("percentage", "") and not cfg.get("alignment"):
+            rename[column] = modality
+    dataset_dict = {k: v.rename_columns(rename) for k, v in dataset_dict.items()}
+
+    if mixture_config:
+        logger.info("Creating mixture dataset")
+        out: Dict[str, Any] = {}
+        for split_name, table in dataset_dict.items():
+            max_samples = sum(
+                mixture_config[conf][f"{split_name}_max_n_samples"]
+                for conf in mixture_config
+            )
+            out[split_name] = IterableDatasetWithLength(
+                generator_fn=multi_config_mix,
+                generator_args={
+                    "dataset": table,
+                    "mixture_config": mixture_config,
+                    "split": split_name,
+                    "seed": DEFAULT_SETTINGS.default_seed,
+                },
+                length=max_samples,
+                split=split_name,
+            )
+            logger.info("Max len for %s: %d", split_name, max_samples)
+        dataset_dict = out
+
+    return data_config, dataset_dict

@@ -1,0 +1,117 @@
+"""Model configuration.
+
+One config family covers all four reference model types
+(reference modeling/wrapper.py:222-227): ``CustomModel`` (the one every paper
+script uses), ``CustomBartForConditionalGeneration``,
+``BartForConditionalGeneration`` and ``T5ForConditionalGeneration`` are
+expressed as presets over {pre/post-LN, gated FFN, positional encodings,
+final LN} of the same Flax encoder-decoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Encoder-alignment head config (reference custom_modeling.py:18-37)."""
+
+    align_network: str = "convolutional"  # or "mlp"
+    hidden_dimension: int = 256
+    conv_channels: int = 512
+    kernel_size: int = 5
+    output_dimension: int = 1800
+    loss_lambda: float = 50.0
+    loss_function: str = "mae"  # mse | mae | sid
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    encoder_attention_heads: int = 8
+    decoder_attention_heads: int = 8
+    encoder_ffn_dim: int = 2048
+    decoder_ffn_dim: int = 2048
+    dropout: float = 0.1
+    activation_function: str = "gelu"
+    # True => pre-LN (norm_first); name kept for reference config parity
+    # (reference custom_modeling.py:129: norm_first=post_layer_normalisation).
+    post_layer_normalisation: bool = True
+    gated_linear: bool = False
+    positional_encoding_type: str = "sin_cos"
+    max_position_embeddings: int = 1024
+    final_layer_norm: bool = True
+
+    vocab_size: int = 0            # filled from target tokenizer
+    pad_token_id: int = 0
+    bos_token_id: int = 2
+    eos_token_id: int = 3
+    decoder_start_token_id: int = 2
+
+    max_target_length: int = 128   # generation cap (reference wrapper.py:313)
+    guided_generation: bool = False
+    align_config: Optional[AlignConfig] = None
+
+    # TPU execution knobs (no reference equivalent).
+    dtype: str = "float32"         # compute dtype: float32 | bfloat16
+    use_flash_attention: bool = False
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+# Reference model_type -> config preset deltas.
+MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
+    "CustomModel": {},
+    # HF BART uses learned positional embeddings and post-LN layers.
+    "BartForConditionalGeneration": {
+        "positional_encoding_type": "sin_cos",
+        "post_layer_normalisation": False,
+    },
+    # CustomBart = BART with pre-LN layers (reference custom_bart_modeling.py).
+    "CustomBartForConditionalGeneration": {
+        "post_layer_normalisation": True,
+    },
+    # T5-style: gated FFN.
+    "T5ForConditionalGeneration": {
+        "gated_linear": True,
+        "post_layer_normalisation": True,
+    },
+}
+
+_CONFIG_FIELDS = {f.name for f in dataclasses.fields(ModelConfig)}
+
+
+def resolve_model_config(
+    model_config: Dict[str, Any],
+    vocab_size: int,
+    pad_token_id: int,
+    bos_token_id: int,
+    eos_token_id: int,
+) -> ModelConfig:
+    """Build a ModelConfig from a reference-style model YAML dict."""
+    model_type = model_config.get("model_type", "CustomModel")
+    if model_type not in MODEL_PRESETS:
+        raise ValueError(f"Unknown model type {model_type}")
+    merged: Dict[str, Any] = dict(MODEL_PRESETS[model_type])
+    for key, value in model_config.items():
+        if key in _CONFIG_FIELDS and value is not None:
+            merged[key] = value
+    align = merged.get("align_config")
+    if isinstance(align, dict):
+        merged["align_config"] = AlignConfig(**align)
+    merged.update(
+        vocab_size=vocab_size,
+        pad_token_id=pad_token_id,
+        bos_token_id=bos_token_id,
+        eos_token_id=eos_token_id,
+        decoder_start_token_id=bos_token_id,
+    )
+    return ModelConfig(**merged)

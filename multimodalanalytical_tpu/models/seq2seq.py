@@ -1,0 +1,190 @@
+"""The flagship model: multimodal encoder-decoder seq2seq.
+
+One Flax model family covering the reference's CustomModel / CustomBart /
+BART / T5 variants (reference modeling/custom_modeling.py:323-508,
+wrapper.py:32-227) with TPU-first mechanics:
+
+  * ``encode`` / ``decode_train`` / ``decode_step`` are separate pure
+    functions of params so generation can jit a step with a KV cache;
+  * loss is computed in-graph (CE with -100 masking + optional align loss);
+  * static shapes; masks are (B, L) keep-masks converted to additive biases.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import make_attention_bias, make_causal_bias
+from .align import ALIGN_LOSSES, AlignNetwork
+from .config import ModelConfig
+from .embedding import MultimodalEmbedding
+from .transformer import Decoder, Encoder
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,        # (B, L, V)
+    labels: jnp.ndarray,        # (B, L) with -100 = ignore
+) -> jnp.ndarray:
+    """Mean CE over non-ignored positions (torch CrossEntropyLoss parity)."""
+    vocab = logits.shape[-1]
+    mask = labels != -100
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(picked * mask)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return -total / count
+
+
+class Seq2SeqModel(nn.Module):
+    config: ModelConfig
+    data_config: Any       # modality -> config dict (static)
+    target_modality: str
+    multimodal_norm: bool = True
+
+    def setup(self) -> None:
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        self.embedding = MultimodalEmbedding(
+            data_config=self.data_config,
+            d_model=cfg.d_model,
+            embedding_norm=self.multimodal_norm,
+            do_positional_encodings=True,
+            positional_encodings_type=cfg.positional_encoding_type,
+            max_seq_len=cfg.max_position_embeddings,
+            dtype=dtype,
+            name="embedding",
+        )
+        self.encoder = Encoder(
+            cfg.encoder_layers, cfg.d_model, cfg.encoder_attention_heads,
+            cfg.encoder_ffn_dim, cfg.dropout, cfg.activation_function,
+            cfg.gated_linear, cfg.post_layer_normalisation,
+            final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            cfg.decoder_layers, cfg.d_model, cfg.decoder_attention_heads,
+            cfg.decoder_ffn_dim, cfg.dropout, cfg.activation_function,
+            cfg.gated_linear, cfg.post_layer_normalisation,
+            final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            name="decoder",
+        )
+        self.lm_head = nn.Dense(
+            cfg.vocab_size, dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(), name="lm_head",
+        )
+        if cfg.align_config is not None:
+            self.align_network = AlignNetwork(cfg.align_config, dtype=jnp.float32,
+                                              name="align_network")
+
+    # ------------------------------------------------------------- encode
+    def encode(
+        self, encoder_inputs: Dict[str, Any], encoder_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        embeds = self.embedding(encoder_inputs)
+        bias = make_attention_bias(encoder_mask)
+        return self.encoder(embeds, bias, deterministic)
+
+    # -------------------------------------------------------- decode (train)
+    def decode_train(
+        self,
+        decoder_ids: jnp.ndarray,        # (B, Lt)
+        decoder_mask: jnp.ndarray,       # (B, Lt) keep-mask
+        encoder_hidden: jnp.ndarray,
+        encoder_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        embeds = self.embedding({self.target_modality: decoder_ids})
+        seq_len = decoder_ids.shape[1]
+        # Causal + padding bias. The reference additionally masks padded
+        # target positions via tgt_key_padding_mask (custom_modeling.py:316).
+        self_bias = make_causal_bias(seq_len) + make_attention_bias(decoder_mask)
+        cross_bias = make_attention_bias(encoder_mask)
+        hidden, _ = self.decoder(
+            embeds, encoder_hidden, self_bias, cross_bias, deterministic
+        )
+        return self.lm_head(hidden.astype(jnp.float32))
+
+    # --------------------------------------------------------- decode (step)
+    def init_cache(self, batch_size: int, max_length: int, encoder_hidden: jnp.ndarray):
+        """Allocate the decode cache: per-layer self-attn K/V buffers plus
+        precomputed cross-attention K/V."""
+        cfg = self.config
+        head_dim = cfg.d_model // cfg.decoder_attention_heads
+        cross = self.decoder.project_cross_kv(encoder_hidden)
+        caches = []
+        for i in range(cfg.decoder_layers):
+            zeros = jnp.zeros(
+                (batch_size, cfg.decoder_attention_heads, max_length, head_dim),
+                dtype=cfg.compute_dtype,
+            )
+            caches.append({"self_kv": (zeros, zeros), "cross_kv": cross[i]})
+        return caches
+
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,          # (B, 1) current tokens
+        position: jnp.ndarray,           # scalar int step index
+        cache,
+        encoder_mask: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Any]:
+        """Single-token decode with KV cache; returns (logits (B, V), cache)."""
+        batch = token_ids.shape[0]
+        positions = jnp.full((batch, 1), position, dtype=jnp.int32)
+        embeds = self.embedding(
+            {self.target_modality: token_ids}, decode_positions=positions
+        )
+        max_length = cache[0]["self_kv"][0].shape[2]
+        # Mask cache slots beyond the current position.
+        slots = jnp.arange(max_length)[None, None, None, :]
+        self_bias = jnp.where(slots <= position, 0.0, -1e9).astype(jnp.float32)
+        cross_bias = make_attention_bias(encoder_mask)
+        hidden, new_cache = self.decoder(
+            embeds, None, self_bias, cross_bias, deterministic=True,
+            cache=cache, cache_index=position,
+        )
+        logits = self.lm_head(hidden.astype(jnp.float32))
+        return logits[:, 0, :], new_cache
+
+    # ----------------------------------------------------------- training
+    def __call__(
+        self,
+        encoder_inputs: Dict[str, Any],
+        encoder_mask: jnp.ndarray,
+        decoder_ids: jnp.ndarray,
+        decoder_mask: jnp.ndarray,
+        labels: jnp.ndarray,
+        align_target: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        encoder_hidden = self.encode(encoder_inputs, encoder_mask, deterministic)
+        logits = self.decode_train(
+            decoder_ids, decoder_mask, encoder_hidden, encoder_mask, deterministic
+        )
+        ce = cross_entropy_loss(logits, labels)
+
+        align_loss = jnp.asarray(0.0, dtype=jnp.float32)
+        total = ce
+        if cfg.align_config is not None and align_target is not None:
+            # Mean-pool unmasked encoder states (custom_modeling.py:462-471).
+            mask = encoder_mask[..., None].astype(jnp.float32)
+            pooled = jnp.sum(encoder_hidden.astype(jnp.float32) * mask, axis=1) / (
+                jnp.sum(mask, axis=1) + 1e-9
+            )
+            pred = self.align_network(pooled)
+            align_loss = ALIGN_LOSSES[cfg.align_config.loss_function](
+                pred, align_target.astype(jnp.float32)
+            )
+            total = ce + cfg.align_config.loss_lambda * align_loss
+
+        return {
+            "loss": total,
+            "model_only_loss": ce,
+            "alignment_loss": align_loss,
+            "logits": logits,
+        }

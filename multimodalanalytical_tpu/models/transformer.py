@@ -1,0 +1,243 @@
+"""Transformer encoder/decoder stacks.
+
+One Flax layer family with pre/post-LN and optional gated (GEGLU) FFN,
+covering the reference's CustomEncoderLayer/CustomDecoderLayer
+(reference modeling/custom_modeling.py:108-199, which subclass torch
+nn.TransformerEncoderLayer/DecoderLayer).
+
+TPU design notes:
+  * batch-first (B, L, D), static shapes;
+  * attention masks are precomputed additive biases;
+  * decoder layers thread a functional KV cache for jitted incremental
+    decoding (self-attention cache + precomputed cross-attention K/V);
+  * compute dtype is configurable (bf16 on TPU), LayerNorms run in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import MultiHeadAttention
+
+_ACTIVATIONS = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "relu": nn.relu,
+}
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    ffn_dim: int
+    dropout: float
+    activation: str = "gelu"
+    gated_linear: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        init = nn.initializers.xavier_uniform()
+        act = _ACTIVATIONS[self.activation]
+        hidden = act(nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=init,
+                              name="linear1")(x))
+        if self.gated_linear:
+            # GEGLU (reference custom_modeling.py:137-152).
+            gate = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=init,
+                            name="gate")(x)
+            hidden = hidden * gate
+        hidden = nn.Dropout(self.dropout, deterministic=deterministic)(hidden)
+        out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init,
+                       name="linear2")(hidden)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+def _norm(name: str):
+    return nn.LayerNorm(dtype=jnp.float32, name=name)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    activation: str = "gelu"
+    gated_linear: bool = False
+    norm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        attn = MultiHeadAttention(self.num_heads, self.d_model, dtype=self.dtype,
+                                  use_flash=self.use_flash, name="self_attn")
+        ff = FeedForward(self.d_model, self.ffn_dim, self.dropout, self.activation,
+                         self.gated_linear, dtype=self.dtype, name="ff")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+
+        if self.norm_first:
+            normed = _norm("norm1")(x).astype(self.dtype)
+            h, _ = attn(normed, normed, bias)
+            x = x + drop(h)
+            x = x + ff(_norm("norm2")(x).astype(self.dtype), deterministic)
+        else:
+            h, _ = attn(x, x, bias)
+            x = _norm("norm1")(x + drop(h)).astype(self.dtype)
+            x = _norm("norm2")(x + ff(x, deterministic)).astype(self.dtype)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    activation: str = "gelu"
+    gated_linear: bool = False
+    norm_first: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self) -> None:
+        self.self_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, dtype=self.dtype,
+            use_flash=self.use_flash, name="self_attn",
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, dtype=self.dtype, name="cross_attn",
+        )
+        self.ff = FeedForward(
+            self.d_model, self.ffn_dim, self.dropout, self.activation,
+            self.gated_linear, dtype=self.dtype, name="ff",
+        )
+        self.norm1 = _norm("norm1")
+        self.norm2 = _norm("norm2")
+        self.norm3 = _norm("norm3")
+        self.residual_dropout = nn.Dropout(self.dropout)
+
+    def project_cross_kv(self, encoder_hidden: jnp.ndarray):
+        return self.cross_attn.project_kv(encoder_hidden)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        encoder_hidden: Optional[jnp.ndarray],
+        self_bias: Optional[jnp.ndarray],
+        cross_bias: Optional[jnp.ndarray],
+        deterministic: bool,
+        cache: Optional[Dict[str, Any]] = None,
+        cache_index=None,
+    ):
+        """Returns (x, updated_cache | None). ``cache`` keys: "self_kv"
+        (k,v arrays) and "cross_kv" (precomputed encoder K/V)."""
+        drop = lambda h: self.residual_dropout(h, deterministic=deterministic)  # noqa: E731
+        new_cache: Optional[Dict[str, Any]] = None
+        self_kv_cache = cache.get("self_kv") if cache else None
+        cross_kv = cache.get("cross_kv") if cache else None
+
+        if self.norm_first:
+            normed = self.norm1(x).astype(self.dtype)
+            h, updated_self = self.self_attn(
+                normed, normed,
+                self_bias, cache=self_kv_cache, cache_index=cache_index,
+            )
+            x = x + drop(h)
+            h, _ = self.cross_attn(
+                self.norm2(x).astype(self.dtype), encoder_hidden, cross_bias,
+                precomputed_kv=cross_kv,
+            )
+            x = x + drop(h)
+            x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic)
+        else:
+            h, updated_self = self.self_attn(
+                x, x, self_bias, cache=self_kv_cache, cache_index=cache_index,
+            )
+            x = self.norm1(x + drop(h)).astype(self.dtype)
+            h, _ = self.cross_attn(x, encoder_hidden, cross_bias, precomputed_kv=cross_kv)
+            x = self.norm2(x + drop(h)).astype(self.dtype)
+            x = self.norm3(x + self.ff(x, deterministic)).astype(self.dtype)
+
+        if cache is not None:
+            new_cache = dict(cache)
+            new_cache["self_kv"] = updated_self
+        return x, new_cache
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    activation: str = "gelu"
+    gated_linear: bool = False
+    norm_first: bool = True
+    final_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.d_model, self.num_heads, self.ffn_dim, self.dropout,
+                self.activation, self.gated_linear, self.norm_first,
+                dtype=self.dtype, use_flash=self.use_flash, name=f"layer_{i}",
+            )(x, bias, deterministic)
+        if self.final_norm:
+            x = _norm("final_norm")(x).astype(self.dtype)
+        return x
+
+
+class Decoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    activation: str = "gelu"
+    gated_linear: bool = False
+    norm_first: bool = True
+    final_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self) -> None:
+        self.layers = [
+            DecoderLayer(
+                self.d_model, self.num_heads, self.ffn_dim, self.dropout,
+                self.activation, self.gated_linear, self.norm_first,
+                dtype=self.dtype, use_flash=self.use_flash, name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.final_norm:
+            self.out_norm = _norm("final_norm")
+
+    def project_cross_kv(self, encoder_hidden: jnp.ndarray):
+        """Precompute per-layer cross-attention K/V from encoder output."""
+        return [layer.project_cross_kv(encoder_hidden) for layer in self.layers]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        encoder_hidden: Optional[jnp.ndarray],
+        self_bias,
+        cross_bias,
+        deterministic: bool,
+        cache=None,
+        cache_index=None,
+    ):
+        new_caches = [] if cache is not None else None
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, updated = layer(
+                x, encoder_hidden, self_bias, cross_bias, deterministic,
+                cache=layer_cache, cache_index=cache_index,
+            )
+            if cache is not None:
+                new_caches.append(updated)
+        if self.final_norm:
+            x = self.out_norm(x).astype(self.dtype)
+        return x, new_caches

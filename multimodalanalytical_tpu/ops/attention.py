@@ -1,0 +1,117 @@
+"""Multi-head attention with functional KV caching.
+
+Replaces torch ``nn.MultiheadAttention`` inside the reference's encoder/
+decoder layers (reference modeling/custom_modeling.py:108-199) with a
+TPU-friendly implementation:
+
+  * batch-first (B, L, D) throughout; head split/merge via reshape,
+  * additive mask bias computed once per batch,
+  * a *functional* KV cache (explicit pytree threaded through decode steps)
+    so jitted beam search can update it with ``lax.dynamic_update_slice`` —
+    the reference disables its HF cache entirely (wrapper.py:450),
+  * optional fused Pallas flash-attention kernel on TPU for the quadratic
+    part (ops/flash_attention.py); XLA fallback elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative bias (bf16-safe; true -inf breaks softmax grads)
+
+
+def make_attention_bias(keep_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, L) keep-mask (1 = attend) -> (B, 1, 1, L) additive bias."""
+    return jnp.where(keep_mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(dtype)
+
+
+def make_causal_bias(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, L, L) additive causal bias."""
+    mask = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)[None, None, :, :]
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # (B, H, Lq, Dh)
+    k: jnp.ndarray,  # (B, H, Lk, Dh)
+    v: jnp.ndarray,  # (B, H, Lk, Dh)
+    bias: Optional[jnp.ndarray],
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Projection + attention; supports cached incremental decoding."""
+
+    num_heads: int
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self) -> None:
+        init = nn.initializers.xavier_uniform()
+        self.q_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+        self.k_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+        self.v_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        head_dim = self.d_model // self.num_heads
+        return x.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    def project_kv(self, kv_input: jnp.ndarray):
+        """Project encoder K/V once for reuse across all decode steps."""
+        return self._split(self.k_proj(kv_input)), self._split(self.v_proj(kv_input))
+
+    def __call__(
+        self,
+        query_input: jnp.ndarray,                  # (B, Lq, D)
+        kv_input: Optional[jnp.ndarray],           # (B, Lk, D) or None
+        bias: Optional[jnp.ndarray] = None,        # broadcastable (B, H, Lq, Lk)
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        precomputed_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """Returns (output (B, Lq, D), updated_cache | None).
+
+        Cache protocol (decode): ``cache`` is (k_cache, v_cache) each
+        (B, H, L_max, Dh); the new key/value rows for this step are written at
+        ``cache_index`` and attention runs over the full cache (masked by
+        ``bias``). ``precomputed_kv`` short-circuits the K/V projections for
+        cross-attention (encoder K/V projected once per sequence).
+        """
+        q = self._split(self.q_proj(query_input))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            k = self._split(self.k_proj(kv_input))
+            v = self._split(self.v_proj(kv_input))
+
+        new_cache = None
+        if cache is not None:
+            k_cache, v_cache = cache
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, cache_index, 0))
+            k, v = k_cache, v_cache
+            new_cache = (k_cache, v_cache)
+
+        out = dot_product_attention(q, k, v, bias, use_flash=self.use_flash)
+        b, h, lq, dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dh)
+        return self.out_proj(out), new_cache

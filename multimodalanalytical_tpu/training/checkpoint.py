@@ -1,0 +1,134 @@
+"""Orbax checkpointing: top-K by monitored metric + last + best.
+
+Replaces Lightning ModelCheckpoint (reference trainer/trainer.py:31-37:
+monitor val_molecular_accuracy, save_top_k=5, save_last) and the finetune
+state-dict load with align-key stripping (reference cli/training.py:152-162).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: Path,
+        monitor: str = "val_molecular_accuracy",
+        mode: str = "max",
+        top_k: int = 5,
+    ):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.top_k = top_k
+        self._checkpointer = ocp.StandardCheckpointer()
+        self._index_path = self.directory / "index.json"
+        self._index: Dict[str, Any] = {"checkpoints": [], "last": None, "best": None}
+        if self._index_path.exists():
+            self._index = json.loads(self._index_path.read_text())
+
+    def _save_tree(self, name: str, tree: Any) -> Path:
+        path = self.directory / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._checkpointer.save(path, tree)
+        self._checkpointer.wait_until_finished()
+        return path
+
+    def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
+        """Save `last` plus a top-K entry when the monitored metric warrants."""
+        self._save_tree("last", tree)
+        self._index["last"] = {"step": step, "metrics": metrics}
+
+        value = metrics.get(self.monitor)
+        if value is not None:
+            entries: List[Dict[str, Any]] = self._index["checkpoints"]
+            name = f"step_{step}"
+            better = sorted(
+                entries + [{"name": name, "step": step, "value": float(value)}],
+                key=lambda e: e["value"],
+                reverse=(self.mode == "max"),
+            )
+            keep, drop = better[: self.top_k], better[self.top_k :]
+            if any(e["name"] == name for e in keep):
+                self._save_tree(name, tree)
+                for e in drop:
+                    stale = self.directory / e["name"]
+                    if stale.exists():
+                        shutil.rmtree(stale)
+                self._index["checkpoints"] = keep
+                best = keep[0]
+                if self._index.get("best", {}) != best:
+                    self._index["best"] = dict(best)
+                    best_path = self.directory / "best"
+                    if best_path.exists() or best_path.is_symlink():
+                        if best_path.is_symlink():
+                            best_path.unlink()
+                        else:
+                            shutil.rmtree(best_path)
+                    shutil.copytree(self.directory / best["name"], best_path)
+
+        self._index_path.write_text(json.dumps(self._index, indent=1))
+
+    def restore(self, name: str, template: Any) -> Any:
+        path = self.directory / name
+        if not path.exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        return self._checkpointer.restore(path, template)
+
+    @property
+    def best_step(self) -> Optional[int]:
+        best = self._index.get("best")
+        return best["step"] if best else None
+
+
+def restore_params(path: Path, template_params: Any = None) -> Any:
+    """Restore a params pytree from any checkpoint dir saved by this module.
+
+    Template-free (PyTreeCheckpointer) so a multitask checkpoint with more
+    modality embeddings than the current serving config still loads — flax
+    ``apply`` simply never looks the extra entries up
+    (reference predict.py:71-77 trims the datamodule config the same way).
+    """
+    del template_params
+    path = Path(path).resolve()
+    checkpointer = ocp.PyTreeCheckpointer()
+    tree = checkpointer.restore(path)
+    return tree["params"] if "params" in tree else tree
+
+
+def load_finetune_params(
+    path: Path, template_params: Any, strip_align: bool
+) -> Tuple[Any, int]:
+    """Load params for finetuning; optionally drop align-network weights
+    (reference cli/training.py:152-162). Returns (params, n_dropped)."""
+    path = Path(path).resolve()
+    checkpointer = ocp.PyTreeCheckpointer()
+    raw = checkpointer.restore(path)
+    params = raw["params"] if "params" in raw else raw
+    dropped = 0
+    if strip_align and "align_network" in params:
+        params = {k: v for k, v in params.items() if k != "align_network"}
+        dropped = 1
+        # Graft freshly-initialised align params if the template expects them.
+        if "align_network" in template_params:
+            params["align_network"] = template_params["align_network"]
+    # Shape-check against template.
+    flat_t = jax.tree_util.tree_leaves(template_params)
+    flat_p = jax.tree_util.tree_leaves(params)
+    if len(flat_t) != len(flat_p):
+        raise ValueError(
+            f"Checkpoint/model param mismatch: {len(flat_p)} vs {len(flat_t)} leaves"
+        )
+    return params, dropped
