@@ -6,6 +6,7 @@ randomized SMILES in augmentations.py:42-46) with an in-repo C++ kernel.
 """
 
 from .smiles import (
+    GUIDED_ATOM_LIST,
     ChemEngineError,
     atom_counts,
     canonicalize,
@@ -15,6 +16,7 @@ from .smiles import (
 )
 
 __all__ = [
+    "GUIDED_ATOM_LIST",
     "ChemEngineError",
     "atom_counts",
     "canonicalize",

@@ -18,7 +18,11 @@ from typing import Dict, List, Optional, Sequence
 logger = logging.getLogger(__name__)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "csrc" / "chem" / "chem.cpp"
+_SRC = _REPO_ROOT / "csrc" / "chem" / "engine.cpp"
+_SRC_PARTS = [
+    _REPO_ROOT / "csrc" / "chem" / "chem.cpp",
+    _REPO_ROOT / "csrc" / "chem" / "smarts.cpp",
+]
 _BUILD_DIR = Path(
     os.environ.get("AFM_CHEM_BUILD_DIR", str(_REPO_ROOT / "csrc" / "chem" / "build"))
 )
@@ -41,8 +45,10 @@ class ChemEngineError(RuntimeError):
 
 
 def _build_library() -> Path:
-    source = _SRC.read_bytes()
-    digest = hashlib.sha256(source).hexdigest()[:16]
+    hasher = hashlib.sha256(_SRC.read_bytes())
+    for part in _SRC_PARTS:
+        hasher.update(part.read_bytes())
+    digest = hasher.hexdigest()[:16]
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     so_path = _BUILD_DIR / f"libafmchem-{digest}.so"
     if so_path.exists():

@@ -93,7 +93,15 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     logger.info("Restored checkpoint from %s", model_config["model_checkpoint_path"])
 
     n_beams = model_config.get("n_beams", 10)
-    predictions = trainer.predict(state, loaders["test"], n_beams=n_beams)
+    hook_builder = None
+    if model_config.get("guided_generation"):
+        from ..generation import guided_hook_builder
+
+        hook_builder = guided_hook_builder(tokenizer)
+    predictions = trainer.predict(
+        state, loaders["test"], n_beams=n_beams,
+        logits_hook_builder=hook_builder,
+    )
 
     if model_config.get("rejection_sampling"):
         predictions = reject_sample(
