@@ -21,10 +21,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: decode graphs are expensive to compile on the
+# remote-compile path; cached binaries make repeat bench runs start in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_COMBINED_SPECTRA_PER_SEC = 70.0
 
@@ -69,13 +76,15 @@ def main() -> None:
     )
 
     # ---- train step ------------------------------------------------------
+    # NOTE: device_get (not block_until_ready) — the axon backend's
+    # block_until_ready can return before remote execution finishes.
     state, metrics = step(state, device_batch)  # compile
-    jax.block_until_ready(metrics["loss"])
+    jax.device_get(metrics["loss"])
     n_steps = 20
     start = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, device_batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.device_get(metrics["loss"])
     train_time = (time.perf_counter() - start) / n_steps
     train_tput = BATCH / train_time
 
@@ -90,7 +99,7 @@ def main() -> None:
     seqs, scores = decode_jit(
         state.params, device_batch["encoder_inputs"], device_batch["encoder_mask"]
     )
-    jax.block_until_ready(seqs)
+    jax.device_get(seqs)
     n_decodes = 3
     start = time.perf_counter()
     for _ in range(n_decodes):
@@ -98,7 +107,7 @@ def main() -> None:
             state.params, device_batch["encoder_inputs"],
             device_batch["encoder_mask"],
         )
-    jax.block_until_ready(seqs)
+        jax.device_get(seqs)
     decode_time = (time.perf_counter() - start) / n_decodes
     decode_tput = BATCH / decode_time
 

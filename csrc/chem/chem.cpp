@@ -1138,6 +1138,85 @@ int afm_random_smiles(const char* smiles, unsigned seed, char* out, int out_len)
   return copy_out(result, out, out_len);
 }
 
+// Local atom environment: canonical SMILES of the subgraph within
+// `radius` bonds of the first atom with atomic number `center_z`
+// (reference: FindAtomEnvironmentOfRadiusN + PathToSubmol usage in
+// paper_replication/phosphor/scripts/process_hack_data.py:18-36).
+// Returns 0 ok, -1 parse failure, -3 no such atom / empty environment.
+int afm_atom_environment(const char* smiles, int center_z, int radius,
+                         char* out, int out_len) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  int center = -1;
+  for (size_t i = 0; i < mol.atoms.size(); ++i) {
+    if (mol.atoms[i].z == center_z) {
+      center = static_cast<int>(i);
+      break;
+    }
+  }
+  if (center < 0) return -3;
+
+  // BFS over bonds up to `radius` hops.
+  std::vector<int> depth(mol.atoms.size(), -1);
+  std::set<int> keep_bonds;
+  depth[center] = 0;
+  std::vector<int> queue{center};
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    int u = queue[qi];
+    if (depth[u] >= radius) continue;
+    for (int bidx : mol.atoms[u].bonds) {
+      keep_bonds.insert(bidx);
+      int v = mol.bonds[bidx].other(u);
+      if (depth[v] < 0) {
+        depth[v] = depth[u] + 1;
+        queue.push_back(v);
+      }
+    }
+  }
+  if (keep_bonds.empty()) return -3;
+
+  // Build the sub-molecule: atoms incident to kept bonds; implicit H counts
+  // recomputed from the remaining bonds (submol valences are open).
+  std::map<int, int> remap;
+  Mol sub;
+  for (int bidx : keep_bonds) {
+    for (int endpoint : {mol.bonds[bidx].a, mol.bonds[bidx].b}) {
+      if (!remap.count(endpoint)) {
+        Atom atom = mol.atoms[endpoint];
+        atom.bonds.clear();
+        atom.explicit_h = -1;
+        atom.chirality = CHI_NONE;
+        remap[endpoint] = static_cast<int>(sub.atoms.size());
+        sub.atoms.push_back(atom);
+      }
+    }
+  }
+  for (int bidx : keep_bonds) {
+    const Bond& b = mol.bonds[bidx];
+    sub.add_bond(remap[b.a], remap[b.b], b.order);
+  }
+  // Recompute H; aromatic fragments may not kekulize — fall back to
+  // treating unresolved aromatic atoms leniently by skipping the check.
+  for (auto& atom : sub.atoms) {
+    if (atom.aromatic) continue;
+    int bond_sum = 0;
+    for (int bidx : atom.bonds) bond_sum += bond_order_int(sub.bonds[bidx].order);
+    atom.n_h = 0;
+    for (int v : organic_valences(atom.z)) {
+      if (bond_sum <= v) {
+        atom.n_h = v - bond_sum;
+        break;
+      }
+    }
+  }
+  for (auto& atom : sub.atoms) {
+    if (!atom.aromatic) continue;
+    int degree = static_cast<int>(atom.bonds.size());
+    atom.n_h = (atom.z == 6 && degree <= 2) ? 1 : 0;
+  }
+  return copy_out(mol_to_canonical(sub), out, out_len);
+}
+
 // Atom counts for guided decoding. `zs` is an array of atomic numbers of
 // length n; counts[i] receives the count of that element (H includes
 // implicit hydrogens).

@@ -82,6 +82,11 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_uint, ctypes.c_char_p, ctypes.c_int,
             ]
             lib.afm_random_smiles.restype = ctypes.c_int
+            lib.afm_atom_environment.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int,
+            ]
+            lib.afm_atom_environment.restype = ctypes.c_int
             lib.afm_atom_counts.argtypes = [
                 ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int),
@@ -143,6 +148,19 @@ def random_smiles(smiles: str, n: int, seed: int = 0) -> List[str]:
             raise ChemEngineError(f"invalid SMILES for random enumeration: {smiles!r}")
         out.append(buf.value.decode("utf-8"))
     return out
+
+
+def atom_environment(smiles: str, center_element: str = "P", radius: int = 1) -> Optional[str]:
+    """Canonical SMILES of the local environment (bond radius N) around the
+    first atom of ``center_element`` (phosphor paper targets; reference
+    process_hack_data.py:18-36)."""
+    lib = _get_lib()
+    buf = ctypes.create_string_buffer(_OUT_LEN)
+    z = _ATOMIC_NUMBERS[center_element]
+    rc = lib.afm_atom_environment(smiles.encode("utf-8"), z, radius, buf, _OUT_LEN)
+    if rc != 0:
+        return None
+    return buf.value.decode("utf-8")
 
 
 def atom_counts(smiles: str, atoms: Sequence[str] = GUIDED_ATOM_LIST) -> Optional[List[int]]:

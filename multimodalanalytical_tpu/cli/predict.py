@@ -21,7 +21,7 @@ from ..data.datasets import build_dataset_multimodal
 from ..evaluation.metrics import calc_sampling_metrics, reject_sample
 from ..training.checkpoint import restore_params
 from ..training.trainer import Trainer
-from ..utils import seed_everything, setup_logging
+from ..utils import enable_compilation_cache, seed_everything, setup_logging
 from .common import (
     build_collator,
     build_loaders,
@@ -36,6 +36,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir = Path(config["working_dir"]) / config["job_name"]
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "predict.log")
+    enable_compilation_cache()
     seed = seed_everything()
 
     model_config: Dict[str, Any] = dict(config["model"])

@@ -23,7 +23,7 @@ from ..data.datasets import build_dataset_multimodal
 from ..evaluation.metrics import calc_sampling_metrics
 from ..training.checkpoint import CheckpointManager, load_finetune_params
 from ..training.trainer import Trainer, calculate_training_steps
-from ..utils import seed_everything, setup_logging
+from ..utils import enable_compilation_cache, seed_everything, setup_logging
 from .common import (
     build_collator,
     build_loaders,
@@ -39,6 +39,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir = Path(config["working_dir"]) / config["job_name"]
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "training.log")
+    enable_compilation_cache()
     seed = seed_everything()
 
     data_config = dict(config["data"])
@@ -114,6 +115,19 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "checkpoint_monitor", "val_molecular_accuracy") else "max",
     )
 
+    try:
+        import tensorboardX
+
+        metrics_writer = tensorboardX.SummaryWriter(str(work_dir / "tb"))
+    except Exception:  # pragma: no cover - tensorboardX optional
+        metrics_writer = None
+
+    # Resume (full optimizer state) when a checkpoint path is given without
+    # finetuning (reference cli/training.py:165: trainer.fit(ckpt_path=...)).
+    resume = bool(model_config.get("model_checkpoint_path")) and not config.get(
+        "finetuning"
+    )
+
     state = trainer.fit(
         state,
         loaders["train"],
@@ -122,15 +136,21 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         checkpoints=checkpoints,
         early_stopping_patience=config["trainer"].get("early_stopping_patience"),
         limit_val_batches=config["trainer"].get("limit_val_batches", 1.0) or 1.0,
+        val_check_interval=config["trainer"].get("val_check_interval"),
+        metrics_writer=metrics_writer,
+        resume=resume,
+        profile_dir=config.get("profile_dir"),
     )
 
     # Reload best checkpoint for final evaluation (reference
     # cli/training.py:167-187); fall back to last/current state.
-    try:
-        restored = checkpoints.restore("best", {"params": state.params, "step": 0})
-        state = trainer.state_with_params(state, restored["params"])
+    from ..training.checkpoint import restore_params
+
+    best_dir = work_dir / "checkpoints" / "best"
+    if best_dir.exists():
+        state = trainer.state_with_params(state, restore_params(best_dir))
         logger.info("Loaded best checkpoint (step %s)", checkpoints.best_step)
-    except FileNotFoundError:
+    else:
         logger.info("No best checkpoint; evaluating final state")
 
     n_beams = model_config.get("n_beams", 10)

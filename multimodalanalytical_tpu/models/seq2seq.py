@@ -111,19 +111,22 @@ class Seq2SeqModel(nn.Module):
 
     # --------------------------------------------------------- decode (step)
     def init_cache(self, batch_size: int, max_length: int, encoder_hidden: jnp.ndarray):
-        """Allocate the decode cache: per-layer self-attn K/V buffers plus
-        precomputed cross-attention K/V."""
+        """Allocate the decode cache.
+
+        Returns {"self": [per-layer (2, L_max, B, D) fused time-major K/V],
+        "cross": [per-layer precomputed (k, v)]}. The self-attention buffers
+        are time-major/head-fused so each decode step writes one contiguous
+        tile-aligned (B, D) row; the cross K/V are beam-invariant and are
+        kept separate so beam search never gathers them.
+        """
         cfg = self.config
-        head_dim = cfg.d_model // cfg.decoder_attention_heads
         cross = self.decoder.project_cross_kv(encoder_hidden)
-        caches = []
-        for i in range(cfg.decoder_layers):
-            zeros = jnp.zeros(
-                (batch_size, cfg.decoder_attention_heads, max_length, head_dim),
-                dtype=cfg.compute_dtype,
-            )
-            caches.append({"self_kv": (zeros, zeros), "cross_kv": cross[i]})
-        return caches
+        selves = [
+            jnp.zeros((2, max_length, batch_size, cfg.d_model),
+                      dtype=cfg.compute_dtype)
+            for _ in range(cfg.decoder_layers)
+        ]
+        return {"self": selves, "cross": cross}
 
     def decode_step(
         self,
@@ -138,17 +141,12 @@ class Seq2SeqModel(nn.Module):
         embeds = self.embedding(
             {self.target_modality: token_ids}, decode_positions=positions
         )
-        max_length = cache[0]["self_kv"][0].shape[2]
-        # Mask cache slots beyond the current position.
-        slots = jnp.arange(max_length)[None, None, None, :]
-        self_bias = jnp.where(slots <= position, 0.0, -1e9).astype(jnp.float32)
         cross_bias = make_attention_bias(encoder_mask)
-        hidden, new_cache = self.decoder(
-            embeds, None, self_bias, cross_bias, deterministic=True,
-            cache=cache, cache_index=position,
+        hidden, new_selves = self.decoder.decode_step(
+            embeds, cache["self"], cache["cross"], cross_bias, position
         )
         logits = self.lm_head(hidden.astype(jnp.float32))
-        return logits[:, 0, :], new_cache
+        return logits[:, 0, :], {"self": new_selves, "cross": cache["cross"]}
 
     # ----------------------------------------------------------- training
     def __call__(

@@ -119,6 +119,38 @@ class DecoderLayer(nn.Module):
     def project_cross_kv(self, encoder_hidden: jnp.ndarray):
         return self.cross_attn.project_kv(encoder_hidden)
 
+    def decode_step(
+        self,
+        x: jnp.ndarray,              # (B, 1, D)
+        self_cache: jnp.ndarray,     # (2, L_max, B, D) fused time-major
+        cross_kv,                    # precomputed (k, v)
+        cross_bias,
+        position,
+    ):
+        """Single-token cached decode through this layer.
+
+        Returns (x, updated self_cache)."""
+        if self.norm_first:
+            normed = self.norm1(x).astype(self.dtype)
+            h, self_cache = self.self_attn.decode_self_attention(
+                normed, self_cache, position
+            )
+            x = x + h
+            h = self.cross_attn.decode_cross_attention(
+                self.norm2(x).astype(self.dtype), cross_kv, cross_bias
+            )
+            x = x + h
+            x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic=True)
+        else:
+            h, self_cache = self.self_attn.decode_self_attention(
+                x, self_cache, position
+            )
+            x = self.norm1(x + h).astype(self.dtype)
+            h = self.cross_attn.decode_cross_attention(x, cross_kv, cross_bias)
+            x = self.norm2(x + h).astype(self.dtype)
+            x = self.norm3(x + self.ff(x, deterministic=True)).astype(self.dtype)
+        return x, self_cache
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -218,6 +250,19 @@ class Decoder(nn.Module):
     def project_cross_kv(self, encoder_hidden: jnp.ndarray):
         """Precompute per-layer cross-attention K/V from encoder output."""
         return [layer.project_cross_kv(encoder_hidden) for layer in self.layers]
+
+    def decode_step(self, x, self_caches, cross_kvs, cross_bias, position):
+        """Single-token cached decode through the stack.
+
+        ``self_caches``: list of per-layer (2, L_max, B, D) fused buffers.
+        Returns (hidden (B, 1, D), updated self_caches)."""
+        new_caches = []
+        for layer, cache, cross_kv in zip(self.layers, self_caches, cross_kvs):
+            x, cache = layer.decode_step(x, cache, cross_kv, cross_bias, position)
+            new_caches.append(cache)
+        if self.final_norm:
+            x = self.out_norm(x).astype(self.dtype)
+        return x, new_caches
 
     def __call__(
         self,

@@ -79,6 +79,63 @@ class MultiHeadAttention(nn.Module):
         """Project encoder K/V once for reuse across all decode steps."""
         return self._split(self.k_proj(kv_input)), self._split(self.v_proj(kv_input))
 
+    def decode_self_attention(
+        self,
+        x: jnp.ndarray,               # (B, 1, D) current-token hidden
+        cache_kv: jnp.ndarray,        # (2, L_max, B, D) fused time-major K/V
+        position,                     # scalar step index
+    ):
+        """Single-token cached self-attention.
+
+        The cache is *time-major and head-fused*: axis order (k/v, time,
+        batch, d_model). A step writes one fully-contiguous (B, D) row —
+        aligned to the (8/16, 128) TPU tile — instead of scattering
+        (B, H, 1, Dh=64) rows into a head-major buffer. Returns
+        (out (B, 1, D), updated cache).
+        """
+        head_dim = self.d_model // self.num_heads
+        batch = x.shape[0]
+        q = self._split(self.q_proj(x))[:, :, 0, :]        # (B, H, Dh)
+        k_new = self.k_proj(x)[:, 0, :]                    # (B, D)
+        v_new = self.v_proj(x)[:, 0, :]
+        new_rows = jnp.stack([k_new, v_new])[:, None]      # (2, 1, B, D)
+        cache_kv = jax.lax.dynamic_update_slice(
+            cache_kv, new_rows.astype(cache_kv.dtype), (0, position, 0, 0)
+        )
+        length = cache_kv.shape[1]
+        k = cache_kv[0].reshape(length, batch, self.num_heads, head_dim)
+        v = cache_kv[1].reshape(length, batch, self.num_heads, head_dim)
+
+        # Keep cache operands in their storage dtype (bf16): upcasting the
+        # whole cache per step would move GBs through HBM for nothing.
+        # fp32 accumulation comes from preferred_element_type.
+        scale = head_dim ** -0.5
+        logits = jnp.einsum(
+            "bhd,lbhd->bhl", (q * scale).astype(k.dtype), k,
+            preferred_element_type=jnp.float32,
+        )
+        slots = jnp.arange(length)[None, None, :]
+        logits = jnp.where(slots <= position, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhl,lbhd->bhd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(batch, 1, self.d_model)
+        return self.out_proj(out), cache_kv
+
+    def decode_cross_attention(
+        self,
+        x: jnp.ndarray,                              # (B, 1, D)
+        kv: Tuple[jnp.ndarray, jnp.ndarray],         # precomputed (B, H, Ls, Dh)
+        bias: Optional[jnp.ndarray],                 # (B, 1, 1, Ls)
+    ) -> jnp.ndarray:
+        q = self._split(self.q_proj(x))              # (B, H, 1, Dh)
+        out = dot_product_attention(q, kv[0], kv[1], bias)
+        batch = x.shape[0]
+        out = out.transpose(0, 2, 1, 3).reshape(batch, 1, self.d_model)
+        return self.out_proj(out)
+
     def __call__(
         self,
         query_input: jnp.ndarray,                  # (B, Lq, D)

@@ -253,15 +253,42 @@ class Trainer:
         checkpoints: Optional[CheckpointManager] = None,
         early_stopping_patience: Optional[int] = None,
         limit_val_batches: float = 1.0,
+        val_check_interval: Optional[int] = None,
         log_every: int = 10,
         metrics_writer=None,
+        resume: bool = False,
+        profile_dir: Optional[str] = None,
     ) -> TrainState:
+        """Epoch loop with per-epoch (or per-``val_check_interval`` steps)
+        validation, checkpointing, early stopping, optional resume from the
+        ``last`` checkpoint (full optimizer state) and optional
+        ``jax.profiler`` traces of the first steps."""
         eval_step = self._build_eval_step()
         best_monitor = -float("inf")
         patience_left = early_stopping_patience
         global_step = 0
+        start_epoch = 0
 
-        for epoch in range(epochs):
+        if resume and checkpoints is not None:
+            try:
+                restored = checkpoints.restore(
+                    "last",
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": 0},
+                )
+                state = state.replace(
+                    params=restored["params"], opt_state=restored["opt_state"],
+                    step=restored["step"],
+                )
+                global_step = int(restored["step"])
+                start_epoch = global_step // max(len(train_loader), 1)
+                logger.info("Resumed from step %d (epoch %d)", global_step,
+                            start_epoch)
+            except FileNotFoundError:
+                logger.info("No checkpoint to resume from; starting fresh")
+
+        stop = False
+        for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             n_samples = 0
             for batch in train_loader:
@@ -269,60 +296,107 @@ class Trainer:
                 if self._train_step is None:
                     segments = _modality_segments(device_batch["encoder_inputs"])
                     self._train_step = self._build_train_step(segments)
+                if profile_dir and global_step == 2:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = self._train_step(state, device_batch)
+                if profile_dir and global_step == 6:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics
+                    )
+                    jax.profiler.stop_trace()
+                    logger.info("Profiler trace written to %s", profile_dir)
                 n_samples += batch["n_valid"]
                 if global_step % log_every == 0:
                     loss = float(metrics["loss"])
                     logger.info(
-                        "epoch %d step %d train_loss %.4f", epoch, global_step, loss
+                        "epoch %d step %d train_loss %.4f (ce %.4f align %.4f)",
+                        epoch, global_step, loss,
+                        float(metrics["model_only_loss"]),
+                        float(metrics["alignment_loss"]),
                     )
                     if metrics_writer is not None:
                         metrics_writer.add_scalar("train_loss", loss, global_step)
+                        metrics_writer.add_scalar(
+                            "train_model_only_loss",
+                            float(metrics["model_only_loss"]), global_step,
+                        )
                 global_step += 1
+
+                if (
+                    val_check_interval
+                    and val_loader is not None
+                    and global_step % val_check_interval == 0
+                ):
+                    stop, best_monitor, patience_left = self._run_validation(
+                        state, val_loader, eval_step, limit_val_batches,
+                        checkpoints, metrics_writer, epoch, global_step,
+                        early_stopping_patience, best_monitor, patience_left,
+                    )
+                    if stop:
+                        break
 
             elapsed = time.time() - epoch_start
             logger.info(
                 "epoch %d done: %d samples in %.1fs (%.1f samples/s)",
                 epoch, n_samples, elapsed, n_samples / max(elapsed, 1e-9),
             )
+            if stop:
+                break
 
-            # ---- validation ---------------------------------------------
             if val_loader is not None:
-                val_metrics = self.validate(
-                    state, val_loader, eval_step, limit_val_batches
+                stop, best_monitor, patience_left = self._run_validation(
+                    state, val_loader, eval_step, limit_val_batches,
+                    checkpoints, metrics_writer, epoch, global_step,
+                    early_stopping_patience, best_monitor, patience_left,
                 )
-                logger.info(
-                    "epoch %d val_loss %.4f val_token_acc %.4f "
-                    "val_molecular_accuracy %.4f",
-                    epoch, val_metrics["val_loss"], val_metrics["val_token_acc"],
-                    val_metrics["val_molecular_accuracy"],
-                )
-                if metrics_writer is not None:
-                    for key, value in val_metrics.items():
-                        metrics_writer.add_scalar(key, value, global_step)
-
-                if checkpoints is not None:
-                    checkpoints.save(
-                        global_step,
-                        {"params": state.params, "step": global_step},
-                        val_metrics,
-                    )
-
-                monitor = val_metrics.get("val_molecular_accuracy", 0.0)
-                if early_stopping_patience is not None:
-                    if monitor > best_monitor:
-                        best_monitor = monitor
-                        patience_left = early_stopping_patience
-                    else:
-                        patience_left -= 1
-                        if patience_left <= 0:
-                            logger.info("Early stopping at epoch %d", epoch)
-                            break
+                if stop:
+                    break
             elif checkpoints is not None:
-                checkpoints.save(global_step, {"params": state.params,
-                                               "step": global_step}, {})
+                checkpoints.save(
+                    global_step,
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": global_step},
+                    {},
+                )
 
         return state
+
+    def _run_validation(
+        self, state, val_loader, eval_step, limit_val_batches, checkpoints,
+        metrics_writer, epoch, global_step, early_stopping_patience,
+        best_monitor, patience_left,
+    ):
+        val_metrics = self.validate(state, val_loader, eval_step, limit_val_batches)
+        logger.info(
+            "epoch %d val_loss %.4f val_token_acc %.4f "
+            "val_molecular_accuracy %.4f",
+            epoch, val_metrics["val_loss"], val_metrics["val_token_acc"],
+            val_metrics["val_molecular_accuracy"],
+        )
+        if metrics_writer is not None:
+            for key, value in val_metrics.items():
+                metrics_writer.add_scalar(key, value, global_step)
+
+        if checkpoints is not None:
+            checkpoints.save(
+                global_step,
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": global_step},
+                val_metrics,
+            )
+
+        stop = False
+        monitor = val_metrics.get("val_molecular_accuracy", 0.0)
+        if early_stopping_patience is not None:
+            if monitor > best_monitor:
+                best_monitor = monitor
+                patience_left = early_stopping_patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    logger.info("Early stopping at epoch %d", epoch)
+                    stop = True
+        return stop, best_monitor, patience_left
 
     # -------------------------------------------------------- validation
     def validate(

@@ -13,6 +13,20 @@ import numpy as np
 from .configuration import DEFAULT_SETTINGS
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (big win for repeated CLI runs —
+    first TPU compiles take tens of seconds to minutes)."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = str(Path(__file__).resolve().parents[1] / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
 def seed_everything(seed: Optional[int] = None) -> int:
     """Seed host RNGs (reference utils.py:175-179). JAX keys are derived
     explicitly from this seed by the trainer."""
