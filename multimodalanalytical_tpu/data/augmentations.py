@@ -22,11 +22,16 @@ def interpolate(spec: np.ndarray, x: np.ndarray, upscale_val: int) -> np.ndarray
 
 
 def horizontal_shift_augment(spectrum, n_augments: int = 2) -> List[List[float]]:
+    """Subsample with phase offsets and re-interpolate to the original grid
+    (reference augmentations.py:19-29). The reference's slicing only yields
+    ``len//n`` points for every phase when the length is odd (the 1791-point
+    IR grids); here the support grid is sized per slice so even lengths work
+    too."""
     spectrum = np.asarray(spectrum, dtype=np.float64)
-    old_x = np.linspace(0, len(spectrum), len(spectrum) // n_augments)
     out = []
     for i in range(n_augments):
         shifted = spectrum[i : (-n_augments + i) : n_augments]
+        old_x = np.linspace(0, len(spectrum), len(shifted))
         out.append(interpolate(shifted, old_x, len(spectrum)).tolist())
     return out
 

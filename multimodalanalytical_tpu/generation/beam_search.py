@@ -40,12 +40,20 @@ def _gather_self_caches(selves, indices, batch, beams):
     """Reorder the beam axis of fused (2, L, B*K, D) cache buffers.
 
     ``indices`` (batch, beams): for each slot, which old beam to keep.
+    Implemented as a one-hot matmul instead of take_along_axis — XLA lowers
+    elementwise gathers over a middle axis to scalar-granularity loads on
+    TPU, while the one-hot contraction rides the MXU at HBM bandwidth.
     """
+    if beams == 1:
+        return selves
+    perm = jax.nn.one_hot(indices, beams, dtype=selves[0].dtype)  # (B, Kn, Ko)
+
     def gather(cache):
         two, length, bk, d = cache.shape
         unflat = cache.reshape(two, length, batch, beams, d)
-        picked = jnp.take_along_axis(
-            unflat, indices[None, None, :, :, None], axis=3
+        picked = jnp.einsum(
+            "bnk,tlbkd->tlbnd", perm, unflat,
+            preferred_element_type=cache.dtype,
         )
         return picked.reshape(two, length, bk, d)
 

@@ -175,9 +175,16 @@ class Seq2SeqModel(nn.Module):
                 jnp.sum(mask, axis=1) + 1e-9
             )
             pred = self.align_network(pooled)
-            align_loss = ALIGN_LOSSES[cfg.align_config.loss_function](
-                pred, align_target.astype(jnp.float32)
-            )
+            # Fully-masked rows are batch-padding dummies; exclude them from
+            # the alignment loss (CE already excludes them via -100 labels).
+            row_valid = (encoder_mask.sum(axis=1) > 0).astype(jnp.float32)
+            target = align_target.astype(jnp.float32)
+            pred = pred * row_valid[:, None]
+            target = target * row_valid[:, None]
+            raw = ALIGN_LOSSES[cfg.align_config.loss_function](pred, target)
+            # mse/mae average over all rows; rescale to valid rows only.
+            scale = pred.shape[0] / jnp.maximum(row_valid.sum(), 1.0)
+            align_loss = raw * scale
             total = ce + cfg.align_config.loss_lambda * align_loss
 
         return {

@@ -496,7 +496,7 @@ class Trainer:
                 if col not in (
                     "encoder_inputs", "encoder_mask", "decoder_ids",
                     "decoder_mask", "labels", "target_strings", "align_target",
-                    "n_valid",
+                    "vector_target", "n_valid",
                 ):
                     extras.setdefault(col, []).extend(list(values)[:n_valid])
 

@@ -1,0 +1,101 @@
+"""Trainer loop tests: fit with checkpointing, resume, finetune load."""
+
+import numpy as np
+import pytest
+
+from multimodalanalytical_tpu.data.collator import MultiModalCollator
+from multimodalanalytical_tpu.data.data_utils import fit_preprocessors
+from multimodalanalytical_tpu.data.datasets import TableDataset
+from multimodalanalytical_tpu.models import ModelConfig, Seq2SeqModel
+from multimodalanalytical_tpu.training.checkpoint import (
+    CheckpointManager,
+    load_finetune_params,
+    restore_params,
+)
+from multimodalanalytical_tpu.training.loader import DataLoader
+from multimodalanalytical_tpu.training.trainer import Trainer
+
+SMILES_REGEX = (
+    r"(\[[^\]]+]|Br?|Cl?|N|O|S|P|F|I|b|c|n|o|s|p|\(|\)|\.|=|#|-|\+|\\\\|\/|:"
+    r"|~|@|\?|>|\*|\$|\%[0-9]{2}|[0-9])"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    n = 16
+    table = TableDataset({
+        "Formula": ["C2H6O", "C2H7N"] * (n // 2),
+        "IR": [rng.random(200).tolist() for _ in range(n)],
+        "Smiles": ["CCO", "CCN"] * (n // 2),
+    })
+    config = {
+        "Formula": {"type": "text", "column": "Formula", "target": False,
+                    "preprocessor_arguments": {
+                        "tokenizer_regex": r"([A-Z]{1}[a-z]?[0-9]*)"}},
+        "IR": {"type": "1D_patches", "column": "IR", "target": False,
+               "preprocessor_arguments": {"patch_size": 50,
+                                          "interpolation": False,
+                                          "masking": False}},
+        "Smiles": {"type": "text", "column": "Smiles", "target": True,
+                   "preprocessor_arguments": {"tokenizer_regex": SMILES_REGEX}},
+    }
+    config, preps = fit_preprocessors(table.columns, config)
+    collator = MultiModalCollator(preps, config, pad_to_batch_size=8)
+    collator.fit_lengths(table.columns)
+    cfg = ModelConfig(
+        d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        vocab_size=config["Smiles"]["vocab_size"],
+        pad_token_id=config["Smiles"]["pad_token_id"],
+        max_target_length=16,
+    )
+    model = Seq2SeqModel(config=cfg, data_config=config, target_modality="Smiles")
+    return table, config, preps, collator, model
+
+
+def test_fit_checkpoints_and_restore(setup, tmp_path):
+    table, config, preps, collator, model = setup
+    loader = DataLoader(table, collator, batch_size=8, shuffle=True, prefetch=0)
+    trainer = Trainer(model, preps["Smiles"], num_steps=8, lr=1e-3, seed=0)
+    state = trainer.init_state(next(iter(loader)))
+
+    ckpts = CheckpointManager(tmp_path / "ckpt")
+    state = trainer.fit(
+        state, loader, loader, epochs=2, checkpoints=ckpts,
+        limit_val_batches=0.5,
+    )
+    assert (tmp_path / "ckpt" / "last").exists()
+    assert (tmp_path / "ckpt" / "best").exists()
+
+    params = restore_params(tmp_path / "ckpt" / "best")
+    leaves_a = [np.asarray(x) for x in
+                __import__("jax").tree_util.tree_leaves(params)]
+    assert all(np.isfinite(x).all() for x in leaves_a)
+
+    # Finetune load round-trips the param tree.
+    loaded, dropped = load_finetune_params(
+        tmp_path / "ckpt" / "best", state.params, strip_align=True
+    )
+    assert dropped == 0
+
+    # Resume continues from the saved step.
+    state2 = trainer.init_state(next(iter(loader)))
+    state2 = trainer.fit(
+        state2, loader, None, epochs=2, checkpoints=ckpts, resume=True,
+    )
+    assert int(state2.step) >= int(state.step)
+
+
+def test_predict_returns_beams(setup):
+    table, config, preps, collator, model = setup
+    loader = DataLoader(table, collator, batch_size=8, prefetch=0)
+    trainer = Trainer(model, preps["Smiles"], num_steps=4, lr=1e-3, seed=0,
+                      n_beams=3)
+    state = trainer.init_state(next(iter(loader)))
+    out = trainer.predict(state, loader, n_beams=3)
+    assert len(out["predictions"]) == len(table)
+    assert all(len(beams) == 3 for beams in out["predictions"])
+    assert out["targets"][:2] == ["CCO", "CCN"]
