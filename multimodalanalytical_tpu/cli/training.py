@@ -40,6 +40,11 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "training.log")
     enable_compilation_cache()
+    from ..parallel.mesh import initialize_multihost
+
+    if initialize_multihost():
+        logger.info("Initialized multi-host JAX (process %s)",
+                    __import__("jax").process_index())
     seed = seed_everything()
 
     data_config = dict(config["data"])

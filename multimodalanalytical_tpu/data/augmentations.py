@@ -99,11 +99,29 @@ def augment(dataset, augment_config: Optional[Dict[str, Any]], num_cpu: int = 1)
         out = out.concat(aug)
 
     augment_data_path = augment_config.get("augment_data_path")
-    if augment_data_path:
-        from .datasets import load_parquet_dir
-
-        extra_splits = load_parquet_dir(augment_data_path)
-        for extra in extra_splits.values():
-            out = out.concat(extra)
+    if augment_data_path and augment_data_path != "<to be filled>":
+        out = out.concat(_load_augment_dataset(augment_data_path))
 
     return out
+
+
+def _load_augment_dataset(path: str):
+    """Extra augmentation data from disk: a parquet directory, or an HF
+    ``save_to_disk`` Arrow directory (the reference's format,
+    augmentations.py:84)."""
+    from pathlib import Path
+
+    from .datasets import TableDataset, load_parquet_dir
+
+    p = Path(path)
+    if any(p.glob("*.parquet")):
+        extra_splits = load_parquet_dir(path)
+        out = None
+        for extra in extra_splits.values():
+            out = extra if out is None else out.concat(extra)
+        return out
+    # HF Arrow directory
+    import datasets as hf_datasets
+
+    ds = hf_datasets.load_from_disk(path)
+    return TableDataset({name: ds[name] for name in ds.column_names})

@@ -37,25 +37,25 @@ NEG_INF = -1.0e7
 
 
 def _gather_self_caches(selves, indices, batch, beams):
-    """Reorder the beam axis of fused (2, L, B*K, D) cache buffers.
+    """Reorder the beam axis of fused (2, B*K, L, D) cache buffers.
 
     ``indices`` (batch, beams): for each slot, which old beam to keep.
     Implemented as a one-hot matmul instead of take_along_axis — XLA lowers
     elementwise gathers over a middle axis to scalar-granularity loads on
-    TPU, while the one-hot contraction rides the MXU at HBM bandwidth.
+    TPU, while the one-hot contraction moves whole (L, D) blocks.
     """
     if beams == 1:
         return selves
     perm = jax.nn.one_hot(indices, beams, dtype=selves[0].dtype)  # (B, Kn, Ko)
 
     def gather(cache):
-        two, length, bk, d = cache.shape
-        unflat = cache.reshape(two, length, batch, beams, d)
+        two, bk, length, d = cache.shape
+        unflat = cache.reshape(two, batch, beams, length, d)
         picked = jnp.einsum(
-            "bnk,tlbkd->tlbnd", perm, unflat,
+            "bnk,cbkld->cbnld", perm, unflat,
             preferred_element_type=cache.dtype,
         )
-        return picked.reshape(two, length, bk, d)
+        return picked.reshape(two, bk, length, d)
 
     return [gather(c) for c in selves]
 

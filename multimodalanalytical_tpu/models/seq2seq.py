@@ -113,16 +113,16 @@ class Seq2SeqModel(nn.Module):
     def init_cache(self, batch_size: int, max_length: int, encoder_hidden: jnp.ndarray):
         """Allocate the decode cache.
 
-        Returns {"self": [per-layer (2, L_max, B, D) fused time-major K/V],
-        "cross": [per-layer precomputed (k, v)]}. The self-attention buffers
-        are time-major/head-fused so each decode step writes one contiguous
-        tile-aligned (B, D) row; the cross K/V are beam-invariant and are
-        kept separate so beam search never gathers them.
+        Returns {"self": [per-layer (2, B, L_max, D) fused batch-major K/V],
+        "cross": [per-layer precomputed (k, v)]}. Batch-major keeps each
+        row's (time x feature) block contiguous for the per-step attention
+        reads (the dominant decode traffic); the cross K/V are beam-invariant
+        and are kept separate so beam search never gathers them.
         """
         cfg = self.config
         cross = self.decoder.project_cross_kv(encoder_hidden)
         selves = [
-            jnp.zeros((2, max_length, batch_size, cfg.d_model),
+            jnp.zeros((2, batch_size, max_length, cfg.d_model),
                       dtype=cfg.compute_dtype)
             for _ in range(cfg.decoder_layers)
         ]

@@ -82,43 +82,43 @@ class MultiHeadAttention(nn.Module):
     def decode_self_attention(
         self,
         x: jnp.ndarray,               # (B, 1, D) current-token hidden
-        cache_kv: jnp.ndarray,        # (2, L_max, B, D) fused time-major K/V
+        cache_kv: jnp.ndarray,        # (2, B, L_max, D) fused batch-major K/V
         position,                     # scalar step index
     ):
         """Single-token cached self-attention.
 
-        The cache is *time-major and head-fused*: axis order (k/v, time,
-        batch, d_model). A step writes one fully-contiguous (B, D) row —
-        aligned to the (8/16, 128) TPU tile — instead of scattering
-        (B, H, 1, Dh=64) rows into a head-major buffer. Returns
+        Cache layout (k/v, batch, time, d_model): the per-step attention
+        READS stream the whole cache, so the time x feature block of one
+        batch row must be contiguous (a time-major layout makes those reads
+        ~1KB strided gathers at a few % of HBM bandwidth). The per-step
+        WRITE of one (B, 1, D) row is strided but only ~MBs. Returns
         (out (B, 1, D), updated cache).
         """
         head_dim = self.d_model // self.num_heads
         batch = x.shape[0]
         q = self._split(self.q_proj(x))[:, :, 0, :]        # (B, H, Dh)
-        k_new = self.k_proj(x)[:, 0, :]                    # (B, D)
-        v_new = self.v_proj(x)[:, 0, :]
-        new_rows = jnp.stack([k_new, v_new])[:, None]      # (2, 1, B, D)
+        k_new = self.k_proj(x)[:, :, :]                    # (B, 1, D)
+        v_new = self.v_proj(x)[:, :, :]
+        new_rows = jnp.stack([k_new, v_new])               # (2, B, 1, D)
         cache_kv = jax.lax.dynamic_update_slice(
-            cache_kv, new_rows.astype(cache_kv.dtype), (0, position, 0, 0)
+            cache_kv, new_rows.astype(cache_kv.dtype), (0, 0, position, 0)
         )
-        length = cache_kv.shape[1]
-        k = cache_kv[0].reshape(length, batch, self.num_heads, head_dim)
-        v = cache_kv[1].reshape(length, batch, self.num_heads, head_dim)
+        length = cache_kv.shape[2]
+        k = cache_kv[0].reshape(batch, length, self.num_heads, head_dim)
+        v = cache_kv[1].reshape(batch, length, self.num_heads, head_dim)
 
-        # Keep cache operands in their storage dtype (bf16): upcasting the
-        # whole cache per step would move GBs through HBM for nothing.
-        # fp32 accumulation comes from preferred_element_type.
+        # Keep cache operands in their storage dtype (bf16); fp32
+        # accumulation comes from preferred_element_type.
         scale = head_dim ** -0.5
         logits = jnp.einsum(
-            "bhd,lbhd->bhl", (q * scale).astype(k.dtype), k,
+            "bhd,blhd->bhl", (q * scale).astype(k.dtype), k,
             preferred_element_type=jnp.float32,
         )
         slots = jnp.arange(length)[None, None, :]
         logits = jnp.where(slots <= position, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
-            "bhl,lbhd->bhd", probs.astype(v.dtype), v,
+            "bhl,blhd->bhd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         out = out.reshape(batch, 1, self.d_model)

@@ -21,6 +21,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost() -> bool:
+    """Initialize JAX multi-host (DCN) coordination when the standard env
+    (COORDINATOR_ADDRESS / JAX process env or TPU pod metadata) is present.
+
+    Reference equivalent: torch.distributed.init_process_group from torchrun
+    env (reference cli/training.py:49-59). Returns True when distributed mode
+    was initialized.
+    """
+    import os
+
+    if os.environ.get("AFM_MULTIHOST", "").lower() not in ("1", "true", "yes"):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -75,3 +75,26 @@ def test_atom_counts():
     counts = atom_counts("CC(C)OC(=O)c1cncc(N)c1")
     # Atom order: C N O S P F Cl Br I B Si H Se As
     assert counts[0] == 9 and counts[1] == 2 and counts[2] == 2 and counts[11] == 12
+
+
+DRUG_LIKE = [
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",                      # ibuprofen
+    "CC(=O)Oc1ccccc1C(=O)O",                            # aspirin
+    "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",                     # caffeine
+    "c1ccc2c(c1)c(c[nH]2)CCN",                          # tryptamine
+    "CC(C)(C)NCC(O)c1ccc(O)c(CO)c1",                    # salbutamol
+    "Clc1ccccc1C2=NCc3ccccc3N2",                        # amine-bridged bicycle
+    "O=C(O)c1ccccc1O",                                  # salicylic acid
+    "N[C@@H](Cc1ccc(O)cc1)C(=O)O",                      # tyrosine (stereo)
+    "C1CCC2(CC1)CCCCC2",                                # spiro
+    "O=S(=O)(N)c1ccc(cc1)Cl",                           # sulfonamide
+]
+
+
+@pytest.mark.parametrize("smiles", DRUG_LIKE)
+def test_canonical_invariance_under_enumeration(smiles):
+    base = canonicalize(smiles)
+    assert base is not None
+    assert canonicalize(base) == base
+    for variant in random_smiles(smiles, 24, seed=123):
+        assert canonicalize(variant) == base, variant
