@@ -94,14 +94,16 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     logger.info("Restored checkpoint from %s", model_config["model_checkpoint_path"])
 
     n_beams = model_config.get("n_beams", 10)
-    hook_builder = None
-    if model_config.get("guided_generation"):
+    guided = None
+    guided_mode = model_config.get("guided_generation")
+    if guided_mode:
         from ..generation import guided_hook_builder
 
-        hook_builder = guided_hook_builder(tokenizer)
+        # True -> in-graph surrogate; "exact" -> host-callback parity mode.
+        mode = guided_mode if isinstance(guided_mode, str) else "surrogate"
+        guided = guided_hook_builder(tokenizer, mode=mode)
     predictions = trainer.predict(
-        state, loaders["test"], n_beams=n_beams,
-        logits_hook_builder=hook_builder,
+        state, loaders["test"], n_beams=n_beams, guided=guided,
     )
 
     if model_config.get("rejection_sampling"):

@@ -97,6 +97,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         modality_dropout=config.get("modality_dropout"),
         seed=seed,
         n_beams=model_config.get("n_beams", 10),
+        monitor=config["trainer"].get(
+            "checkpoint_monitor", "val_molecular_accuracy"),
     )
 
     sample_batch = next(iter(loaders["train"]))
@@ -159,14 +161,16 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         logger.info("No best checkpoint; evaluating final state")
 
     n_beams = model_config.get("n_beams", 10)
-    hook_builder = None
-    if model_config.get("guided_generation"):
+    guided = None
+    guided_mode = model_config.get("guided_generation")
+    if guided_mode:
         from ..generation import guided_hook_builder
 
-        hook_builder = guided_hook_builder(tokenizer)
+        # True -> in-graph surrogate; "exact" -> host-callback parity mode.
+        mode = guided_mode if isinstance(guided_mode, str) else "surrogate"
+        guided = guided_hook_builder(tokenizer, mode=mode)
     predictions = trainer.predict(
-        state, loaders["test"], n_beams=n_beams,
-        logits_hook_builder=hook_builder,
+        state, loaders["test"], n_beams=n_beams, guided=guided,
     )
 
     classes = None

@@ -111,7 +111,8 @@ class MultiModalCollator:
         mask_parts: List[np.ndarray] = []
         for modality in self.input_modalities:
             mtype = self.data_config[modality]["type"]
-            prep = self.preprocessors[modality]
+            # no_action has no fitted preprocessor (raw passthrough).
+            prep = self.preprocessors.get(modality)
 
             if mtype == "text":
                 out = prep(
@@ -173,6 +174,20 @@ class MultiModalCollator:
                 patches, keep_mask = prep(list(columns[modality]))
                 encoder_inputs[modality] = patches
                 mask_parts.append(keep_mask)
+
+            elif mtype == "no_action":
+                # Raw passthrough features: (B, F) rows become one sequence
+                # position of F features each ((B, L, F) kept as-is), fully
+                # attended. The embedding projects them linearly.
+                arr = np.asarray(
+                    [np.asarray(row, dtype=np.float32) for row in columns[modality]]
+                )
+                if arr.ndim == 1:
+                    arr = arr[:, None]
+                if arr.ndim == 2:
+                    arr = arr[:, None, :]
+                encoder_inputs[modality] = arr
+                mask_parts.append(np.ones(arr.shape[:2], np.int32))
 
             else:
                 raise ValueError(f"Unknown modality type {mtype}")

@@ -35,6 +35,24 @@ def sample_rows(n_rows: int, budget: int = 0, seed: int | None = None) -> np.nda
     return rng.integers(0, n_rows, size=min(budget, n_rows))
 
 
+def load_tokenizer(path, modality: str) -> RegexTokenizer:
+    """Load a tokenizer from a bare RegexTokenizer JSON or from a full
+    ``preprocessor.json`` artifact (reference data_utils.py:63-65 semantics:
+    reuse a pretrained tokenizer across dataset changes)."""
+    with Path(path).open() as f:
+        payload = json.load(f)
+    if "tokenizer" in payload:                      # bare RegexTokenizer.to_json
+        return RegexTokenizer.from_json(payload)
+    preps = payload.get("preprocessors", {})
+    if modality in preps and preps[modality].get("type") == "text":
+        return RegexTokenizer.from_json(preps[modality])
+    # fall back to any text preprocessor in the artifact
+    for state in preps.values():
+        if state.get("type") == "text":
+            return RegexTokenizer.from_json(state)
+    raise ValueError(f"No text tokenizer found in artifact {path}")
+
+
 def fit_preprocessors(
     sampled_columns: Mapping[str, Sequence[Any]],
     config: Dict[str, Any],
@@ -54,21 +72,31 @@ def fit_preprocessors(
 
         if mtype == "text":
             if "tokenizer_path" in args:
-                raise NotImplementedError(
-                    "tokenizer_path loading is handled via the preprocessor artifact"
+                # Reuse a previously-fitted tokenizer across dataset changes
+                # (pretrain -> finetune; reference data_utils.py:63-65 loads
+                # via AutoTokenizer.from_pretrained). Accepts either a bare
+                # RegexTokenizer JSON or a full preprocessor.json artifact
+                # (the tokenizer is looked up by modality name).
+                logger.info(
+                    "Loading tokenizer for modality %s from %s",
+                    modality, args["tokenizer_path"],
                 )
-            if "tokenizer_regex" not in args:
+                tokenizer = load_tokenizer(args["tokenizer_path"], modality)
+            elif "tokenizer_regex" not in args:
                 raise ValueError(
                     "One of tokenizer_path or tokenizer_regex has to be defined "
                     "for datatype text."
                 )
-            behaviour = args.get("tokenizer_behaviour", "isolated")
-            logger.info("Building tokenizer from scratch for modality: %s", modality)
-            tokenizer = build_regex_tokenizer(
-                [s for s in sampled_columns[modality] if s is not None],
-                args["tokenizer_regex"],
-                tokenizer_behaviour=behaviour,
-            )
+            else:
+                behaviour = args.get("tokenizer_behaviour", "isolated")
+                logger.info(
+                    "Building tokenizer from scratch for modality: %s", modality
+                )
+                tokenizer = build_regex_tokenizer(
+                    [s for s in sampled_columns[modality] if s is not None],
+                    args["tokenizer_regex"],
+                    tokenizer_behaviour=behaviour,
+                )
             logger.info("Modality %s has vocab size: %d", modality, tokenizer.vocab_size)
             preprocessors[modality] = tokenizer
             modality_config["vocab_size"] = tokenizer.vocab_size

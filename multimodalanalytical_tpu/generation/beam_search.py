@@ -1,14 +1,20 @@
-"""Jitted beam search with KV cache.
+"""Jitted beam search with a lazy-ancestry KV cache.
 
 The reference decodes through HF ``generate`` with ``use_cache=False`` —
 every decode step re-runs the full decoder over the whole prefix
 (reference wrapper.py:443-451, custom_modeling.py:271-320). Here decoding is
 a single ``lax.while_loop`` with:
 
-  * a fused time-major KV cache updated in place (one contiguous (B, D) row
-    per step) and cross-attention K/V projected once per sequence;
-  * beam reordering that gathers ONLY the self-attention caches — the
-    cross K/V are beam-invariant and never move;
+  * a time-major (2, L, B, K, D) self-attention KV cache whose rows are
+    written once and NEVER physically reordered. Beam permutations are
+    tracked in an int32 ancestry table (B, K, L): ``anc[b, n, l]`` = which
+    slot holds beam n's time-l K/V. Attention contracts every live beam's
+    query against every slot's cache (a real MXU matmul instead of a
+    per-beam matvec) and a one-hot mul-reduce selects ancestors — round-1's
+    physical cache gather cost a full cache read+write per step (12-16
+    ms/step at flagship scale, the dominant decode cost);
+  * cross-attention K/V projected once per sequence at BATCH size — they are
+    beam-invariant, so tiling them x K (round 1) was K x wasted traffic;
   * a provably-safe early exit: the loop stops once no live beam can beat
     the worst finished hypothesis (for sum-logprob scores the optimistic
     bound of a live beam with running sum S is S / max_length), so results
@@ -19,8 +25,14 @@ Semantics follow HF beam search with the reference's generation config
 length, ``num_return_sequences = num_beams``, sequences sorted by
 length-normalized score.
 
-An optional ``logits_hook(state, logits, live_seqs, t) -> (state, logits)``
-lets guided (formula-constrained) decoding adjust scores in-graph.
+An optional ``logits_hook(state, logprobs, live_seqs, t) -> (state,
+logprobs)`` lets guided (formula-constrained) decoding adjust scores
+in-graph. The hook runs on LOG-PROBS (after ``log_softmax``, no
+renormalization afterwards), matching where HF applies logits processors in
+its beam path — scores set to 0 force a token, ``-inf`` bans one. Hook state
+is a traced pytree whose leaves are (B, K, ...) — it is permuted with the
+beams each step, so per-batch constants (e.g. target formula counts) can be
+passed per call without recompiling the graph.
 """
 
 from __future__ import annotations
@@ -34,30 +46,6 @@ import jax.numpy as jnp
 from ..models.seq2seq import Seq2SeqModel
 
 NEG_INF = -1.0e7
-
-
-def _gather_self_caches(selves, indices, batch, beams):
-    """Reorder the beam axis of fused (2, B*K, L, D) cache buffers.
-
-    ``indices`` (batch, beams): for each slot, which old beam to keep.
-    Implemented as a one-hot matmul instead of take_along_axis — XLA lowers
-    elementwise gathers over a middle axis to scalar-granularity loads on
-    TPU, while the one-hot contraction moves whole (L, D) blocks.
-    """
-    if beams == 1:
-        return selves
-    perm = jax.nn.one_hot(indices, beams, dtype=selves[0].dtype)  # (B, Kn, Ko)
-
-    def gather(cache):
-        two, bk, length, d = cache.shape
-        unflat = cache.reshape(two, batch, beams, length, d)
-        picked = jnp.einsum(
-            "bnk,cbkld->cbnld", perm, unflat,
-            preferred_element_type=cache.dtype,
-        )
-        return picked.reshape(two, bk, length, d)
-
-    return [gather(c) for c in selves]
 
 
 def beam_search(
@@ -80,24 +68,16 @@ def beam_search(
     batch = encoder_mask.shape[0]
     bos, eos, pad = cfg.decoder_start_token_id, cfg.eos_token_id, cfg.pad_token_id
 
-    # Encode once; tile across beams.
+    # Encode once; K/V stay at batch size (beam-invariant).
     encoder_hidden = model.apply(
         variables, encoder_inputs, encoder_mask, method=Seq2SeqModel.encode
     )
-
-    def tile(x):
-        return jnp.repeat(x, num_beams, axis=0)
-
-    tiled_hidden = tile(encoder_hidden)
-    tiled_mask = tile(encoder_mask)
-
     cache = model.apply(
-        variables, batch * num_beams, max_length, tiled_hidden,
-        method=Seq2SeqModel.init_cache,
+        variables, batch, num_beams, max_length, encoder_hidden,
+        method=Seq2SeqModel.init_beam_cache,
     )
-
     decode_step = functools.partial(
-        model.apply, variables, method=Seq2SeqModel.decode_step
+        model.apply, variables, method=Seq2SeqModel.beam_decode_step
     )
 
     live_seqs = jnp.full((batch, num_beams, max_length), pad, dtype=jnp.int32)
@@ -107,10 +87,11 @@ def beam_search(
     )
     finished_seqs = jnp.full((batch, num_beams, max_length), pad, dtype=jnp.int32)
     finished_scores = jnp.full((batch, num_beams), NEG_INF)
+    ancestry = jnp.zeros((batch, num_beams, max_length), dtype=jnp.int32)
 
     def cond_fn(carry):
         (t, live_seqs, live_scores, finished_seqs, finished_scores,
-         selves, hook_state) = carry
+         selves, ancestry, hook_state) = carry
         # Optimistic bound for any live beam: sum / max_length (sums are <= 0).
         best_live = jnp.max(live_scores, axis=1)
         bound = best_live / (float(max_length) ** length_penalty)
@@ -120,29 +101,35 @@ def beam_search(
 
     def body_fn(carry):
         (t, live_seqs, live_scores, finished_seqs, finished_scores,
-         selves, hook_state) = carry
+         selves, ancestry, hook_state) = carry
 
-        current = live_seqs.reshape(batch * num_beams, max_length)[:, t][:, None]
-        logits, new_cache = decode_step(
-            current, t, {"self": selves, "cross": cache["cross"]}, tiled_mask
+        # This step's K/V rows are written at slot = live-beam index.
+        ancestry = ancestry.at[:, :, t].set(
+            jnp.arange(num_beams)[None, :]
         )
-        selves = new_cache["self"]
-        logits = logits.astype(jnp.float32)
+        current = live_seqs[:, :, t]
+        logits, selves = decode_step(
+            current, t, {"self": selves, "cross": cache["cross"]},
+            ancestry, encoder_mask,
+        )
+        logits = logits.astype(jnp.float32)          # (B, K, V)
+        vocab = logits.shape[-1]
+
+        # HF processor ordering: log_softmax FIRST, then logits processors on
+        # the log-probs without renormalizing (HF generation/utils.py beam
+        # path) — so a guided hook's ``score[eos] = 0`` genuinely forces EOS.
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
 
         if logits_hook is not None:
-            hook_state, hooked = logits_hook(
-                hook_state, logits.reshape(batch, num_beams, -1), live_seqs, t
+            hook_state, logprobs = logits_hook(
+                hook_state, logprobs, live_seqs, t
             )
-            logits = hooked.reshape(batch * num_beams, -1)
 
-        vocab = logits.shape[-1]
-        # Force EOS at the final position (forced_eos_token_id).
+        # Force EOS at the final position (forced_eos_token_id — an HF
+        # processor appended after user processors).
         is_last = t == max_length - 2
-        eos_only = jnp.full_like(logits, NEG_INF).at[:, eos].set(0.0)
-        logits = jnp.where(is_last, eos_only, logits)
-
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        logprobs = logprobs.reshape(batch, num_beams, vocab)
+        eos_only = jnp.full_like(logprobs, NEG_INF).at[:, :, eos].set(0.0)
+        logprobs = jnp.where(is_last, eos_only, logprobs)
 
         total = live_scores[:, :, None] + logprobs
         flat_total = total.reshape(batch, num_beams * vocab)
@@ -175,7 +162,12 @@ def beam_search(
         live_seqs = jnp.take_along_axis(cand_seqs, live_idx[:, :, None], axis=1)
         beam_src = jnp.take_along_axis(topk_beam, live_idx, axis=1)
 
-        selves = _gather_self_caches(selves, beam_src, batch, num_beams)
+        # Compose the ancestry instead of gathering the cache: the new beam
+        # n's history is its parent's history (an int32 table gather — ~KBs,
+        # vs GBs for the cache).
+        ancestry = jnp.take_along_axis(
+            ancestry, beam_src[:, :, None], axis=1
+        )
         if logits_hook is not None and hook_state is not None:
             hook_state = jax.tree_util.tree_map(
                 lambda leaf: jnp.take_along_axis(
@@ -187,12 +179,12 @@ def beam_search(
             )
 
         return (t + 1, live_seqs, live_scores, finished_seqs, finished_scores,
-                selves, hook_state)
+                selves, ancestry, hook_state)
 
     carry = (jnp.asarray(0), live_seqs, live_scores, finished_seqs,
-             finished_scores, cache["self"], hook_init)
+             finished_scores, cache["self"], ancestry, hook_init)
     carry = jax.lax.while_loop(cond_fn, body_fn, carry)
-    (_, live_seqs, live_scores, finished_seqs, finished_scores, _, _) = carry
+    (_, live_seqs, live_scores, finished_seqs, finished_scores, _, _, _) = carry
 
     # Finalize: surviving live beams compete with the finished pool
     # (HF BeamHypotheses.add semantics on finalization).

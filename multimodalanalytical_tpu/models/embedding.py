@@ -85,6 +85,14 @@ class MultimodalEmbedding(nn.Module):
                     encoding_type=args.get("encoding_type", "linear"),
                     dtype=self.dtype, name=f"embed_{modality}",
                 )
+            elif mtype == "no_action":
+                # Raw passthrough features (reference fits n_features at
+                # data_utils.py:118-124 but its embedding has no branch —
+                # this closes that gap): linear projection of (B, L, F) rows.
+                embeds[modality] = PatchProjection(
+                    self.d_model, encoding_type="linear",
+                    dtype=self.dtype, name=f"embed_{modality}",
+                )
             else:
                 raise NotImplementedError(f"Unknown modality type: {mtype}")
             if self.embedding_norm:

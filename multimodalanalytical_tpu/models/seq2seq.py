@@ -128,6 +128,55 @@ class Seq2SeqModel(nn.Module):
         ]
         return {"self": selves, "cross": cross}
 
+    def init_beam_cache(
+        self, batch_size: int, num_beams: int, max_length: int,
+        encoder_hidden: jnp.ndarray,
+    ):
+        """Allocate the lazy-ancestry beam-decode cache.
+
+        Returns {"self": [per-layer (2, L, B, K, D) time-major buffers],
+        "cross": [per-layer UN-tiled (k, v)]}. Self rows are written at
+        slot = live-beam index and NEVER physically reordered — beam search
+        keeps an ancestry table instead (see ops/attention.py
+        beam_decode_self_attention). Cross K/V are beam-invariant and stay at
+        batch size (the round-1 design tiled them x K).
+        """
+        cfg = self.config
+        cross = self.decoder.project_cross_kv(encoder_hidden)
+        selves = [
+            jnp.zeros((2, max_length, batch_size, num_beams, cfg.d_model),
+                      dtype=cfg.compute_dtype)
+            for _ in range(cfg.decoder_layers)
+        ]
+        return {"self": selves, "cross": cross}
+
+    def beam_decode_step(
+        self,
+        token_ids: jnp.ndarray,          # (B, K) current tokens per beam
+        position: jnp.ndarray,           # scalar int step index
+        cache,
+        ancestry: jnp.ndarray,           # (B, K, L) int32 slot table
+        encoder_mask: jnp.ndarray,       # (B, Ls) UN-tiled keep-mask
+    ) -> Tuple[jnp.ndarray, Any]:
+        """Beam decode step; returns (logits (B, K, V), updated self caches)."""
+        batch, beams = token_ids.shape
+        positions = jnp.full((batch * beams, 1), position, dtype=jnp.int32)
+        embeds = self.embedding(
+            {self.target_modality: token_ids.reshape(batch * beams, 1)},
+            decode_positions=positions,
+        )
+        x = embeds.reshape(batch, beams, self.config.d_model)
+        num_slots = ancestry.shape[1]
+        anc_onehot = (
+            ancestry[:, :, :, None] == jnp.arange(num_slots)[None, None, None, :]
+        ).astype(jnp.float32)                      # (B, K, L, K')
+        cross_bias = make_attention_bias(encoder_mask)
+        hidden, new_selves = self.decoder.beam_decode_step(
+            x, cache["self"], anc_onehot, cache["cross"], cross_bias, position
+        )
+        logits = self.lm_head(hidden.astype(jnp.float32))
+        return logits, new_selves
+
     def decode_step(
         self,
         token_ids: jnp.ndarray,          # (B, 1) current tokens

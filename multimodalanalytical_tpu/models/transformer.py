@@ -151,6 +151,40 @@ class DecoderLayer(nn.Module):
             x = self.norm3(x + self.ff(x, deterministic=True)).astype(self.dtype)
         return x, self_cache
 
+    def beam_decode_step(
+        self,
+        x: jnp.ndarray,              # (B, K, D)
+        self_cache: jnp.ndarray,     # (2, L, B, K, D) time-major, un-permuted
+        anc_onehot: jnp.ndarray,     # (B, K, L, K') ancestry one-hot
+        cross_kv,                    # UN-tiled precomputed (k, v)
+        cross_bias,                  # (B, 1, 1, Ls)
+        position,
+    ):
+        """Lazy-ancestry beam decode through this layer (see
+        ops/attention.py beam_decode_self_attention). Returns (x, cache)."""
+        if self.norm_first:
+            normed = self.norm1(x).astype(self.dtype)
+            h, self_cache = self.self_attn.beam_decode_self_attention(
+                normed, self_cache, anc_onehot, position
+            )
+            x = x + h
+            h = self.cross_attn.beam_decode_cross_attention(
+                self.norm2(x).astype(self.dtype), cross_kv, cross_bias
+            )
+            x = x + h
+            x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic=True)
+        else:
+            h, self_cache = self.self_attn.beam_decode_self_attention(
+                x, self_cache, anc_onehot, position
+            )
+            x = self.norm1(x + h).astype(self.dtype)
+            h = self.cross_attn.beam_decode_cross_attention(
+                x, cross_kv, cross_bias
+            )
+            x = self.norm2(x + h).astype(self.dtype)
+            x = self.norm3(x + self.ff(x, deterministic=True)).astype(self.dtype)
+        return x, self_cache
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -259,6 +293,22 @@ class Decoder(nn.Module):
         new_caches = []
         for layer, cache, cross_kv in zip(self.layers, self_caches, cross_kvs):
             x, cache = layer.decode_step(x, cache, cross_kv, cross_bias, position)
+            new_caches.append(cache)
+        if self.final_norm:
+            x = self.out_norm(x).astype(self.dtype)
+        return x, new_caches
+
+    def beam_decode_step(self, x, self_caches, anc_onehot, cross_kvs,
+                         cross_bias, position):
+        """Lazy-ancestry beam decode through the stack.
+
+        ``self_caches``: per-layer (2, L, B, K, D) un-permuted buffers.
+        Returns (hidden (B, K, D), updated self_caches)."""
+        new_caches = []
+        for layer, cache, cross_kv in zip(self.layers, self_caches, cross_kvs):
+            x, cache = layer.beam_decode_step(
+                x, cache, anc_onehot, cross_kv, cross_bias, position
+            )
             new_caches.append(cache)
         if self.final_norm:
             x = self.out_norm(x).astype(self.dtype)

@@ -124,6 +124,98 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(batch, 1, self.d_model)
         return self.out_proj(out), cache_kv
 
+    def beam_decode_self_attention(
+        self,
+        x: jnp.ndarray,            # (B, K, D) current-token hidden per beam
+        cache_kv: jnp.ndarray,     # (2, L, B, K, D) time-major, rows UN-permuted
+        anc_onehot: jnp.ndarray,   # (B, K, L, K') one-hot ancestry (fp32)
+        position,                  # scalar step index
+    ):
+        """Lazy-ancestry cached self-attention for beam search.
+
+        Beam search reorders beams every step; physically permuting the KV
+        cache costs a full read+write of the cache per step (measured 12-16
+        ms/step at B=128 K=10 L=128 d=512 — the round-1 decode bottleneck).
+        Instead rows stay where they were written (slot = beam index at write
+        time) and an ancestry table maps (new beam n, time l) -> slot k.
+
+        Attention contracts q of EVERY live beam against the cache of EVERY
+        slot (a real matmul with M = K*H instead of the M=1 matvec of
+        per-beam cached attention — MXU-friendly), then the tiny one-hot
+        mul-reduce selects each beam's ancestor per time step. Extra compute
+        is K x the minimal FLOPs (~10 GFLOP/step at flagship scale — noise on
+        an MXU); extra traffic is two (B,K,H,K',L) intermediates (~100
+        MB/layer), far below the 2x cache traffic a physical gather moves.
+
+        Returns (out (B, K, D), updated cache).
+        """
+        batch, beams, _ = x.shape
+        head_dim = self.d_model // self.num_heads
+        q = self.q_proj(x).reshape(batch, beams, self.num_heads, head_dim)
+        k_new = self.k_proj(x)
+        v_new = self.v_proj(x)
+        new_rows = jnp.stack([k_new, v_new])[:, None]    # (2, 1, B, K, D)
+        cache_kv = jax.lax.dynamic_update_slice(
+            cache_kv, new_rows.astype(cache_kv.dtype), (0, position, 0, 0, 0)
+        )
+        length = cache_kv.shape[1]
+        kv = cache_kv.reshape(
+            2, length, batch, beams, self.num_heads, head_dim
+        )
+
+        scale = head_dim ** -0.5
+        # (B, N, H, K', L): q of each live beam vs the cache of each slot.
+        qk_all = jnp.einsum(
+            "bnhd,lbkhd->bnhkl", (q * scale).astype(kv.dtype), kv[0],
+            preferred_element_type=jnp.float32,
+        )
+        # Ancestry select: logits[b,n,h,l] = qk_all[b,n,h,anc[b,n,l],l].
+        logits = jnp.einsum("bnhkl,bnlk->bnhl", qk_all, anc_onehot)
+        slots = jnp.arange(length)[None, None, None, :]
+        logits = jnp.where(slots <= position, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        # Spread probs back over slots (bf16, matching the V dtype) and
+        # contract V over (slot, time) in one matmul.
+        pw = jnp.einsum(
+            "bnhl,bnlk->bnhlk", probs.astype(kv.dtype),
+            anc_onehot.astype(kv.dtype),
+        )
+        out = jnp.einsum(
+            "bnhlk,lbkhd->bnhd", pw, kv[1],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(batch, beams, self.d_model)
+        return self.out_proj(out), cache_kv
+
+    def beam_decode_cross_attention(
+        self,
+        x: jnp.ndarray,                          # (B, K, D)
+        kv: Tuple[jnp.ndarray, jnp.ndarray],     # UN-tiled (B, H, Ls, Dh)
+        bias: Optional[jnp.ndarray],             # (B, 1, 1, Ls)
+    ) -> jnp.ndarray:
+        """Beam cross-attention against batch-sized (beam-invariant) K/V.
+
+        The encoder K/V never differ across beams; keeping them at batch
+        size instead of tiling x K cuts cross-attention cache traffic K-fold.
+        """
+        batch, beams, _ = x.shape
+        head_dim = self.d_model // self.num_heads
+        q = self.q_proj(x).reshape(batch, beams, self.num_heads, head_dim)
+        scale = head_dim ** -0.5
+        logits = jnp.einsum(
+            "bkhd,bhld->bkhl", (q * scale).astype(kv[0].dtype), kv[0],
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            # bias (B, 1, 1, Ls) broadcasts over (B, K, H, Ls).
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bkhl,bhld->bkhd", probs.astype(kv[1].dtype), kv[1],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return self.out_proj(out.reshape(batch, beams, self.d_model))
+
     def decode_cross_attention(
         self,
         x: jnp.ndarray,                              # (B, 1, D)

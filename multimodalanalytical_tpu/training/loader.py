@@ -79,25 +79,51 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: List[BaseException] = []
+
+        def _put(item) -> bool:
+            # Bounded put that notices an abandoned consumer (e.g. validate
+            # breaking at limit_val_batches) so the producer thread exits
+            # instead of blocking on a full queue forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for columns in self._column_batches():
-                    q.put(self.collator(columns))
+                    if not _put(self.collator(columns)):
+                        return
             except BaseException as exc:  # noqa: BLE001 - re-raised on consumer
                 error.append(exc)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close (consumer
+            # stopped iterating early): unblock + stop the producer.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5.0)
+        # Normal completion only (a closed generator never gets here, so an
+        # early-abandoning consumer isn't hit with a stale producer error).
         if error:
             raise error[0]
 

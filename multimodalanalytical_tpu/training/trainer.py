@@ -122,6 +122,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         n_beams: int = 10,
+        monitor: str = "val_molecular_accuracy",
     ):
         self.model = model
         self.tokenizer = target_tokenizer
@@ -131,6 +132,11 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
         self.n_beams = n_beams
+        # Early stopping monitors the same metric as checkpointing
+        # (reference trainer.py:39-46 uses the checkpoint monitor for both);
+        # "loss"-style monitors improve downwards.
+        self.monitor = monitor
+        self.monitor_mode = "min" if "loss" in monitor else "max"
         self.tx = build_optimizer(
             optimiser, lr, num_steps, weight_decay, adam_beta1, adam_beta2,
             clip_grad, acc_batches,
@@ -386,7 +392,9 @@ class Trainer:
             )
 
         stop = False
-        monitor = val_metrics.get("val_molecular_accuracy", 0.0)
+        monitor = val_metrics.get(self.monitor, 0.0)
+        if self.monitor_mode == "min":
+            monitor = -monitor
         if early_stopping_patience is not None:
             if monitor > best_monitor:
                 best_monitor = monitor
@@ -446,12 +454,13 @@ class Trainer:
         state: TrainState,
         loader: DataLoader,
         n_beams: Optional[int] = None,
-        logits_hook_builder=None,
+        guided=None,
     ) -> Dict[str, Any]:
         """Beam-search predictions over a loader.
 
-        Returns {"predictions": [[beam strings] per sample], "targets": [...],
-        "avg_loss": float, extra columns...}.
+        ``guided``: optional ``generation.guided.GuidedDecoder`` enabling
+        formula-constrained decoding. Returns {"predictions": [[beam strings]
+        per sample], "targets": [...], "avg_loss": float, extra columns...}.
         """
         n_beams = n_beams or self.n_beams
         eval_step = self._build_eval_step()
@@ -467,18 +476,24 @@ class Trainer:
             losses.append(float(out["loss"]))
             n_valid = batch["n_valid"]
 
-            if logits_hook_builder is not None:
-                hook, hook_state = logits_hook_builder(batch)
-                def decode_guided(params, enc, mask):
-                    return beam_search(
-                        self.model, {"params": params}, enc, mask,
-                        num_beams=n_beams,
-                        max_length=cfg.max_target_length,
-                        logits_hook=hook, hook_init=hook_state,
-                    )
-                seqs, _ = jax.jit(decode_guided)(
+            if guided is not None:
+                # One compile for the whole run: the hook is a static
+                # closure; per-batch target counts ride in the (traced)
+                # hook state (guided.py GuidedDecoder).
+                key = ("guided", n_beams, cfg.max_target_length)
+                if key not in self._decode_fns:
+                    def decode_guided(params, enc, mask, hook_state):
+                        return beam_search(
+                            self.model, {"params": params}, enc, mask,
+                            num_beams=n_beams,
+                            max_length=cfg.max_target_length,
+                            logits_hook=guided.hook, hook_init=hook_state,
+                        )
+                    self._decode_fns[key] = jax.jit(decode_guided)
+                seqs, _ = self._decode_fns[key](
                     state.params, device_batch["encoder_inputs"],
                     device_batch["encoder_mask"],
+                    guided.state_for(batch, n_beams),
                 )
             else:
                 decode = self.decode_fn(num_beams=n_beams)

@@ -56,9 +56,10 @@ def test_hook_rules():
 
     # Target: C2 (heavy atoms). Beam 0 prefix "C C" (complete); beam 1 prefix
     # "C" (undershoot).
-    target = np.zeros((1, len(GUIDED_ATOM_LIST)), np.int32)
-    target[0, GUIDED_ATOM_LIST.index("C")] = 2
-    hook, state = make_formula_hook(table, target, eos)
+    target = np.zeros((1, 2, len(GUIDED_ATOM_LIST)), np.int32)
+    target[0, :, GUIDED_ATOM_LIST.index("C")] = 2
+    hook = make_formula_hook(table, eos)
+    state = {"target": jnp.asarray(target)}
 
     live = np.full((1, 2, 8), tok.pad_token_id, np.int32)
     live[0, :, 0] = tok.bos_token_id
@@ -77,3 +78,130 @@ def test_hook_rules():
     # Beam 1: undershoot -> EOS banned, C allowed.
     assert out[0, 1, eos] == -np.inf
     assert out[0, 1, vocab["C"]] == 0.0
+
+
+def test_exact_hook_matches_reference_semantics():
+    """Exact mode: full-formula (incl. H) compare via host callback.
+
+    Target CCO = C2H6O. Prefix "CCO" has the right heavy atoms AND right
+    H-count -> EOS forced. Prefix "CC(C)O" overshoots C -> banned earlier by
+    rule 3; prefix "CO" undershoots -> EOS banned. The surrogate would force
+    EOS on ANY C2+O prefix regardless of H; exact requires a valid molecule
+    with matching implicit-H formula.
+    """
+    from multimodalanalytical_tpu.generation.guided import (
+        make_exact_formula_hook,
+    )
+
+    tok = _tok()
+    table = build_token_atom_table(tok.vocab, ["<pad>", "<unk>", "<bos>", "<eos>"])
+    vocab = tok.vocab
+    eos = tok.eos_token_id
+    vocab_size = max(vocab.values()) + 1
+    hook = make_exact_formula_hook(
+        table, eos, lambda ids: tok.batch_decode(ids, skip_special_tokens=True)
+    )
+
+    target = np.tile(
+        target_formula_counts(["CCO"])[:, None, :], (1, 2, 1)
+    )  # (1, 2, A)
+    state = {"target": jnp.asarray(target)}
+
+    live = np.full((1, 2, 8), tok.pad_token_id, np.int32)
+    live[0, :, 0] = tok.bos_token_id
+    # beam 0: C C O  (exact match C2H6O)
+    live[0, 0, 1:4] = [vocab["C"], vocab["C"], vocab["O"]]
+    # beam 1: C O    (undershoot)
+    live[0, 1, 1:3] = [vocab["C"], vocab["O"]]
+
+    logits = jnp.zeros((1, 2, vocab_size))
+    _, out = hook(state, logits, jnp.asarray(live), 3)
+    out = np.asarray(out)
+
+    assert out[0, 0, eos] == 0.0          # complete -> EOS forced
+    assert out[0, 0, vocab["C"]] == -np.inf  # C overshoot banned
+    assert out[0, 1, eos] == -np.inf      # undershoot -> EOS banned
+    assert out[0, 1, vocab["C"]] == 0.0
+
+
+def test_exact_hook_h_divergence_from_surrogate():
+    """C=C vs CC: same heavy atoms (C2), different H (C2H4 vs C2H6).
+
+    Surrogate (heavy-only) forces EOS on both prefixes; exact only on the
+    H-matching one — the reference's behaviour
+    (logit_processors.py:115-124 compares CalcMolFormula incl. H).
+    """
+    from multimodalanalytical_tpu.generation.guided import (
+        make_exact_formula_hook,
+    )
+
+    tok = build_regex_tokenizer(["C=C", "CC", "CCO"], SMILES_REGEX)
+    table = build_token_atom_table(tok.vocab, ["<pad>", "<unk>", "<bos>", "<eos>"])
+    vocab = tok.vocab
+    eos = tok.eos_token_id
+    vocab_size = max(vocab.values()) + 1
+
+    target = np.tile(target_formula_counts(["CC"])[:, None, :], (1, 2, 1))
+    state = {"target": jnp.asarray(target)}
+
+    live = np.full((1, 2, 8), tok.pad_token_id, np.int32)
+    live[0, :, 0] = tok.bos_token_id
+    live[0, 0, 1:3] = [vocab["C"], vocab["C"]]            # CC  (C2H6: match)
+    live[0, 1, 1:4] = [vocab["C"], vocab["="], vocab["C"]]  # C=C (C2H4: no)
+    logits = jnp.zeros((1, 2, vocab_size))
+
+    exact_hook = make_exact_formula_hook(
+        table, eos, lambda ids: tok.batch_decode(ids, skip_special_tokens=True)
+    )
+    _, exact_out = exact_hook(state, logits, jnp.asarray(live), 3)
+    exact_out = np.asarray(exact_out)
+    assert exact_out[0, 0, eos] == 0.0
+    assert exact_out[0, 1, eos] == -np.inf  # H undershoot (4 < 6) bans EOS
+
+    surro_hook = make_formula_hook(table, eos)
+    _, surro_out = surro_hook(state, logits, jnp.asarray(live), 3)
+    surro_out = np.asarray(surro_out)
+    # surrogate can't see H: both prefixes "match"
+    assert surro_out[0, 0, eos] == 0.0
+    assert surro_out[0, 1, eos] == 0.0
+
+
+def test_guided_decoder_single_compile():
+    """GuidedDecoder + Trainer-style jitted decode compiles once across
+    batches with different targets (ADVICE r1: per-batch re-jit)."""
+    import jax
+
+    from multimodalanalytical_tpu.generation.beam_search import beam_search
+    from __graft_entry__ import _example_batch, _flagship
+
+    model = _flagship(d_model=64, layers=1, ffn=128, vocab=16)
+    batch = _example_batch(batch=2, target_len=6, vocab=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    # model vocab is 16; build a table sized to it
+    table = np.zeros((16, len(GUIDED_ATOM_LIST)), np.int32)
+    from multimodalanalytical_tpu.generation.guided import make_formula_hook
+
+    hook = make_formula_hook(table, eos_token_id=2)
+
+    compiles = {"n": 0}
+
+    def decode(params, enc, mask, hook_state):
+        compiles["n"] += 1  # python tracing counter
+        return beam_search(
+            model, {"params": params}, enc, mask, num_beams=2, max_length=8,
+            logits_hook=hook, hook_init=hook_state,
+        )
+
+    decode_jit = jax.jit(decode)
+    for i in range(3):
+        target = np.full((2, 2, len(GUIDED_ATOM_LIST)), i + 1, np.int32)
+        seqs, _ = decode_jit(
+            variables["params"], batch["encoder_inputs"],
+            batch["encoder_mask"], {"target": jnp.asarray(target)},
+        )
+        assert seqs.shape == (2, 2, 8)
+    assert compiles["n"] == 1, "guided decode retraced across batches"

@@ -303,3 +303,99 @@ def test_fit_and_artifact_roundtrip(tmp_path):
     pa, _ = preps["IR"](columns["IR"])
     pb, _ = preps2["IR"](columns["IR"])
     assert np.allclose(pa, pb)
+
+
+def test_tokenizer_path_loading(tmp_path):
+    """tokenizer_path reuses a pretrained tokenizer across dataset changes
+    (reference data_utils.py:63-93)."""
+    import json
+
+    from multimodalanalytical_tpu.data.data_utils import load_tokenizer
+
+    tok = build_regex_tokenizer(["CCO", "c1ccccc1", "CC(=O)O"], SMILES_REGEX)
+    bare = tmp_path / "tok.json"
+    with bare.open("w") as f:
+        json.dump(tok.to_json(), f)
+
+    # 1. bare tokenizer JSON
+    loaded = load_tokenizer(bare, "Smiles")
+    assert loaded.vocab == tok.vocab
+
+    # 2. full preprocessor artifact
+    config = {
+        "Smiles": {
+            "type": "text", "column": "smiles", "target": True,
+            "preprocessor_arguments": {"tokenizer_regex": SMILES_REGEX},
+        },
+    }
+    config, preps = fit_preprocessors(
+        {"Smiles": ["CCO", "c1ccccc1", "CC(=O)O"]}, config
+    )
+    artifact = tmp_path / "preprocessor.json"
+    save_preprocessors(artifact, config, preps)
+    loaded2 = load_tokenizer(artifact, "Smiles")
+    assert loaded2.vocab == preps["Smiles"].vocab
+
+    # 3. through fit_preprocessors on a DIFFERENT dataset: vocab unchanged
+    config3 = {
+        "Smiles2": {
+            "type": "text", "column": "smiles", "target": True,
+            "preprocessor_arguments": {"tokenizer_path": str(bare)},
+        },
+    }
+    config3, preps3 = fit_preprocessors({"Smiles2": ["NNN", "OOO"]}, config3)
+    assert preps3["Smiles2"].vocab == tok.vocab
+    assert config3["Smiles2"]["vocab_size"] == tok.vocab_size
+
+
+def test_no_action_input_modality():
+    """no_action encoder inputs pass raw feature vectors through collation
+    and embedding (reference fits n_features, data_utils.py:118-124)."""
+    import jax
+
+    from multimodalanalytical_tpu.data.collator import MultiModalCollator
+    from multimodalanalytical_tpu.models import ModelConfig, Seq2SeqModel
+
+    config = {
+        "Features": {
+            "type": "no_action", "column": "feats", "target": False,
+            "preprocessor_arguments": {},
+        },
+        "Smiles": {
+            "type": "text", "column": "smiles", "target": True,
+            "preprocessor_arguments": {"tokenizer_regex": SMILES_REGEX},
+        },
+    }
+    columns = {
+        "Features": [[0.5, 1.0, 0.0, 2.0]] * 3,
+        "Smiles": ["CCO", "CCN", "CCS"],
+    }
+    config, preps = fit_preprocessors(columns, config)
+    assert config["Features"]["n_features"] == 4
+
+    collator = MultiModalCollator(preps, config)
+    collator.fit_lengths(columns)
+    batch = collator(columns)
+    assert batch["encoder_inputs"]["Features"].shape == (3, 1, 4)
+    assert batch["encoder_mask"].shape[1] >= 1
+
+    cfg = ModelConfig(
+        d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        vocab_size=config["Smiles"]["vocab_size"],
+    )
+    model = Seq2SeqModel(config=cfg, data_config=config,
+                         target_modality="Smiles")
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    out = model.apply(
+        {"params": variables["params"]},
+        batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    assert np.isfinite(float(out["loss"]))
