@@ -336,5 +336,109 @@ VARIANTS["copy_probe"] = run_copy_probe
 VARIANTS["copy_single"] = run_copy_single
 VARIANTS["copy_nolup"] = run_copy_nolup
 
+
+
+def run_lazy_pieces():
+    """Decompose the lazy beam self-attention into its einsum pieces.
+
+    Shapes mirror beam_decode_self_attention at flagship scale: cache
+    (2, L, B, K, D) bf16 per layer x6, q (B, K, H, Dh), ancestry one-hot
+    (B, K, L, K) fp32.
+    """
+    H, DH = 8, D_MODEL // 8
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 4)
+    caches = [jax.random.normal(k, (2, MAXLEN, BATCH, BEAMS, D_MODEL),
+                                jnp.bfloat16)
+              for k in jax.random.split(ks[0], LAYERS)]
+    q = jax.random.normal(ks[1], (BATCH, BEAMS, H, DH), jnp.bfloat16)
+    anc = jax.random.randint(ks[2], (BATCH, BEAMS, MAXLEN), 0, BEAMS)
+
+    def qk_and_pv(cache, onehot, acc, t):
+        # write this step's row (like real decode) so the loop body is NOT
+        # loop-invariant (XLA would hoist it entirely otherwise)
+        new_row = jnp.broadcast_to(
+            acc.astype(jnp.bfloat16), (2, 1, BATCH, BEAMS, D_MODEL))
+        cache = jax.lax.dynamic_update_slice(cache, new_row, (0, t, 0, 0, 0))
+        kv = cache.reshape(2, MAXLEN, BATCH, BEAMS, H, DH)
+        qk_all = jnp.einsum("bnhd,lbkhd->bnhkl", q, kv[0],
+                            preferred_element_type=jnp.float32)
+        logits = jnp.einsum("bnhkl,bnlk->bnhl", qk_all, onehot)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pw = jnp.einsum("bnhl,bnlk->bnhlk", probs.astype(jnp.bfloat16),
+                        onehot.astype(jnp.bfloat16))
+        out = jnp.einsum("bnhlk,lbkhd->bnhd", pw, kv[1],
+                         preferred_element_type=jnp.float32)
+        return acc + out.sum(), cache
+
+    @_scalarize
+    def full(caches, anc):
+        def body(t, carry):
+            acc, caches = carry
+            onehot = ((anc + t) % BEAMS == jnp.arange(BEAMS)[None, None, None, :]
+                      if False else
+                      ((anc[:, :, :, None] + t) % BEAMS ==
+                       jnp.arange(BEAMS)[None, None, None, :])).astype(jnp.float32)
+            new_caches = []
+            for i, c in enumerate(caches):
+                acc, c = qk_and_pv(c, onehot, acc, t)
+                new_caches.append(c)
+            return acc, new_caches
+        acc, _ = jax.lax.fori_loop(0, STEPS, body, (jnp.float32(0), caches))
+        return acc
+
+    secs = _time(full, caches, anc)
+    _report("lazy_attn6", secs, bytes_per_step=CACHE_BYTES)
+
+    def qk_only(cache, acc, t):
+        new_row = jnp.broadcast_to(
+            acc.astype(jnp.bfloat16), (2, 1, BATCH, BEAMS, D_MODEL))
+        cache = jax.lax.dynamic_update_slice(cache, new_row, (0, t, 0, 0, 0))
+        kv = cache.reshape(2, MAXLEN, BATCH, BEAMS, H, DH)
+        qk_all = jnp.einsum("bnhd,lbkhd->bnhkl", q, kv[0],
+                            preferred_element_type=jnp.float32)
+        return acc + qk_all.sum(), cache
+
+    @_scalarize
+    def qk(caches):
+        def body(t, carry):
+            acc, caches = carry
+            new_caches = []
+            for c in caches:
+                acc, c = qk_only(c, acc, t)
+                new_caches.append(c)
+            return acc, new_caches
+        acc, _ = jax.lax.fori_loop(0, STEPS, body, (jnp.float32(0), caches))
+        return acc
+
+    secs = _time(qk, caches)
+    _report("lazy_qk6", secs, bytes_per_step=CACHE_BYTES // 2)
+
+    def sel_only(onehot, acc, qk_all):
+        logits = jnp.einsum("bnhkl,bnlk->bnhl", qk_all, onehot)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pw = jnp.einsum("bnhl,bnlk->bnhlk", probs.astype(jnp.bfloat16),
+                        onehot.astype(jnp.bfloat16))
+        return acc + pw.sum().astype(jnp.float32)
+
+    qk_const = jax.random.normal(ks[3], (BATCH, BEAMS, H, BEAMS, MAXLEN),
+                                 jnp.float32)
+
+    @_scalarize
+    def sel(anc, qk_all):
+        def body(t, acc):
+            onehot = ((anc[:, :, :, None] + t) % BEAMS ==
+                      jnp.arange(BEAMS)[None, None, None, :]).astype(jnp.float32)
+            for _ in range(LAYERS):
+                acc = sel_only(onehot, acc, qk_all + acc)
+            return acc
+        return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
+
+    secs = _time(sel, anc, qk_const)
+    _report("lazy_sel6", secs)
+
+
+VARIANTS["lazy_pieces"] = run_lazy_pieces
+
 if __name__ == "__main__":
     main()

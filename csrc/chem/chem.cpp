@@ -14,12 +14,13 @@
 //     kekulization-based validation of aromatic systems,
 //   * canonical SMILES output via iterative partition refinement
 //     (Weisfeiler-Lehman) with branch-and-min tie-breaking,
+//   * cis/trans (E/Z) double-bond stereo: directional marks are perceived
+//     into per-bond configurations and re-emitted canonically,
 //   * Hill-order molecular formula with net charge,
 //   * randomized (non-canonical) SMILES enumeration,
 //   * per-element atom counts (for formula-guided decoding).
 //
 // Intentional deviations from RDKit (documented framework caveats):
-//   * cis/trans bond stereo (/ \) is parsed and dropped,
 //   * canonical strings are NOT byte-identical to RDKit's; they are a
 //     consistent canonical form (same molecule -> same string), which is what
 //     exact-match Top-N scoring requires.
@@ -131,6 +132,14 @@ struct Bond {
   int a = -1, b = -1;
   BondOrder order = BOND_SINGLE;
   bool in_aromatic_ring = false;
+  // Directional single-bond mark as written a->b: +1 '/', -1 '\', 0 none.
+  // Consumed by perceive_bond_stereo and cleared afterwards.
+  int8_t dir = 0;
+  // Perceived double-bond stereo: s(ref_a) * s(ref_b) where s(n) is the
+  // side (+1/-1) of reference neighbor n relative to the double-bond axis.
+  // 0 = no stereo. refs are neighbor atom indices at ends a and b.
+  int8_t stereo = 0;
+  int stereo_ref_a = -1, stereo_ref_b = -1;
 
   int other(int atom) const { return atom == a ? b : a; }
 };
@@ -210,6 +219,9 @@ class Parser {
         if (prev >= 0) {
           BondOrder order = resolve_bond(pending_bond, prev, atom_idx);
           mol_->add_bond(prev, atom_idx, order);
+          if (pending_bond == '/' || pending_bond == '\\') {
+            mol_->bonds.back().dir = pending_bond == '/' ? 1 : -1;
+          }
         }
         prev = atom_idx;
         pending_bond = 0;
@@ -258,6 +270,14 @@ class Parser {
     bond.a = rb.atom;
     bond.b = atom;
     bond.order = order;
+    // Directional ring-closure bonds: the mark before a digit points from
+    // the atom carrying the digit toward the ring partner. Opening-side
+    // marks are already a->b; closing-side marks are b->a (flip). Both
+    // present must agree.
+    int dir_open = rb.bond_symbol == '/' ? 1 : rb.bond_symbol == '\\' ? -1 : 0;
+    int dir_close = bond_sym == '/' ? -1 : bond_sym == '\\' ? 1 : 0;
+    if (dir_open && dir_close && dir_open != dir_close) return false;
+    bond.dir = static_cast<int8_t>(dir_open ? dir_open : dir_close);
     mol_->bonds.push_back(bond);
     int idx = static_cast<int>(mol_->bonds.size()) - 1;
     auto ph = ring_placeholder_[ring];
@@ -608,6 +628,54 @@ bool kekulize_check(const Mol& mol) {
   return true;
 }
 
+// Perceive double-bond (E/Z) stereo from directional single-bond marks.
+//
+// A directional bond written x->y with '/' places y "up" relative to x.
+// side(d, x) gives the side (+1 up / -1 down) of d's far atom as seen from
+// endpoint x. A double bond gets stereo when BOTH ends carry at least one
+// directional single bond: stereo = side(ref_a) * side(ref_b) with one
+// reference neighbor fixed per end (+1 = same side / cis of the refs,
+// -1 = opposite / trans). Conflicting marks (two same-side neighbors of one
+// end marked identically) invalidate the molecule, like RDKit. Directions
+// are cleared afterwards; writers re-derive them from the stereo field.
+bool perceive_bond_stereo(Mol* mol) {
+  auto side = [&](const Bond& d, int x) {
+    return d.a == x ? static_cast<int>(d.dir) : -static_cast<int>(d.dir);
+  };
+  for (auto& db : mol->bonds) {
+    if (db.order != BOND_DOUBLE || db.in_aromatic_ring) continue;
+    if (mol->atoms[db.a].aromatic || mol->atoms[db.b].aromatic) continue;
+    int refs[2] = {-1, -1};
+    int sides[2] = {0, 0};
+    bool conflict = false;
+    int ends[2] = {db.a, db.b};
+    for (int e = 0; e < 2; ++e) {
+      int x = ends[e];
+      for (int bidx : mol->atoms[x].bonds) {
+        const Bond& d = mol->bonds[bidx];
+        if (&d == &db || d.order != BOND_SINGLE || d.dir == 0) continue;
+        if (d.a != x && d.b != x) continue;
+        int n = d.other(x);
+        int s = side(d, x);
+        if (refs[e] < 0) {
+          refs[e] = n;
+          sides[e] = s;
+        } else if (s == sides[e]) {
+          conflict = true;  // two neighbors of one end on the same side
+        }
+      }
+    }
+    if (conflict) return false;
+    if (refs[0] >= 0 && refs[1] >= 0) {
+      db.stereo = static_cast<int8_t>(sides[0] * sides[1]);
+      db.stereo_ref_a = refs[0];
+      db.stereo_ref_b = refs[1];
+    }
+  }
+  for (auto& b : mol->bonds) b.dir = 0;
+  return true;
+}
+
 // Resolve implicit hydrogens & validate valences. Returns false on invalid.
 bool sanitize(Mol* mol) {
   // First pass for non-aromatic-perception-dependent H counts so that
@@ -673,6 +741,7 @@ bool sanitize(Mol* mol) {
   }
 
   if (!kekulize_check(*mol)) return false;
+  if (!perceive_bond_stereo(mol)) return false;
   return true;
 }
 
@@ -759,7 +828,122 @@ struct WriteCtx {
   std::vector<AtomPlan> plan;
   std::map<std::pair<int, int>, int> ring_digit;  // sorted (a,b) -> digit
   int next_digit = 1;
+  // Emission directions for single bonds adjacent to stereo double bonds,
+  // as a->b (+1 '/', -1 '\'), derived from Bond::stereo by
+  // assign_directions.
+  std::vector<int8_t> bond_dir;
 };
+
+// Re-derive directional marks from perceived double-bond stereo.
+//
+// Constraint system over single-bond directions: (R1) the two single-bond
+// neighbors of a stereo end sit on opposite sides; (R2) for each stereo
+// double bond, side(ref_a) * side(ref_b) = stereo. Free systems are seeded
+// deterministically from canonical ranks (lowest-rank end, lowest-rank
+// neighbor = '/'), so equivalent inputs produce identical strings; a global
+// slash flip is the only gauge freedom and the seed pins it.
+void assign_directions(WriteCtx* ctx) {
+  const Mol& mol = *ctx->mol;
+  ctx->bond_dir.assign(mol.bonds.size(), 0);
+
+  std::vector<int> stereo_bonds;
+  for (size_t i = 0; i < mol.bonds.size(); ++i) {
+    if (mol.bonds[i].stereo != 0) stereo_bonds.push_back(static_cast<int>(i));
+  }
+  if (stereo_bonds.empty()) return;
+  const std::vector<int>& ranks = *ctx->ranks;
+  std::sort(stereo_bonds.begin(), stereo_bonds.end(), [&](int x, int y) {
+    const Bond& bx = mol.bonds[x];
+    const Bond& by = mol.bonds[y];
+    auto kx = std::minmax(ranks[bx.a], ranks[bx.b]);
+    auto ky = std::minmax(ranks[by.a], ranks[by.b]);
+    if (kx != ky) return kx < ky;
+    return x < y;
+  });
+
+  // side of neighbor n at end x from the current assignment (0 = unknown)
+  auto get_side = [&](int x, int n) -> int {
+    for (int bidx : mol.atoms[x].bonds) {
+      if (bidx < 0) continue;
+      const Bond& d = mol.bonds[bidx];
+      if (d.order != BOND_SINGLE || d.other(x) != n) continue;
+      int dir = ctx->bond_dir[bidx];
+      if (dir == 0) return 0;
+      return d.a == x ? dir : -dir;
+    }
+    return 0;
+  };
+  // single-bond neighbors of a stereo end
+  auto single_nbrs = [&](int x, int skip_bond) {
+    std::vector<int> out;
+    for (int bidx : mol.atoms[x].bonds) {
+      if (bidx < 0 || bidx == skip_bond) continue;
+      const Bond& d = mol.bonds[bidx];
+      if (d.order == BOND_SINGLE) out.push_back(d.other(x));
+    }
+    return out;
+  };
+  // set side of n at x to s, and its sibling neighbors to -s (R1)
+  auto set_end = [&](int x, int ref, int s, int dbond) {
+    for (int n : single_nbrs(x, dbond)) {
+      int want = (n == ref) ? s : -s;
+      for (int bidx : mol.atoms[x].bonds) {
+        if (bidx < 0) continue;
+        const Bond& d = mol.bonds[bidx];
+        if (d.order != BOND_SINGLE || d.other(x) != n) continue;
+        int dir = (d.a == x) ? want : -want;
+        if (ctx->bond_dir[bidx] == 0) ctx->bond_dir[bidx] = static_cast<int8_t>(dir);
+        // conflicting assignment (odd conjugated cycle): keep first; the
+        // affected bond's marks stay self-consistent for all other bonds.
+      }
+    }
+  };
+
+  size_t guard = stereo_bonds.size() + 2;
+  for (size_t pass = 0; pass < guard; ++pass) {
+    bool changed = false;
+    int first_unknown = -1;
+    for (int bi : stereo_bonds) {
+      const Bond& db = mol.bonds[bi];
+      int sa = get_side(db.a, db.stereo_ref_a);
+      int sb = get_side(db.b, db.stereo_ref_b);
+      if (sa != 0 && sb != 0) continue;
+      if (sa == 0 && sb == 0) {
+        if (first_unknown < 0) first_unknown = bi;
+        continue;
+      }
+      if (sa != 0) {
+        set_end(db.b, db.stereo_ref_b, db.stereo * sa, bi);
+      } else {
+        set_end(db.a, db.stereo_ref_a, db.stereo * sb, bi);
+      }
+      changed = true;
+    }
+    if (!changed) {
+      if (first_unknown < 0) break;
+      // Seed a fresh stereo system: lowest-rank end, lowest-rank single
+      // neighbor goes '/' (side +1).
+      const Bond& db = mol.bonds[first_unknown];
+      int x = ranks[db.a] <= ranks[db.b] ? db.a : db.b;
+      int ref = (x == db.a) ? db.stereo_ref_a : db.stereo_ref_b;
+      auto nbrs = single_nbrs(x, first_unknown);
+      int lowest = nbrs[0];
+      for (int n : nbrs) {
+        if (ranks[n] < ranks[lowest]) lowest = n;
+      }
+      int s = (lowest == ref) ? 1 : -1;  // lowest-rank neighbor = +1
+      set_end(x, ref, s, first_unknown);
+    }
+  }
+}
+
+// Direction char for emitting single bond `bidx` while walking from `from`.
+const char* dir_symbol(const WriteCtx& ctx, int bidx, int from) {
+  int dir = ctx.bond_dir[bidx];
+  if (dir == 0) return "";
+  int eff = (ctx.mol->bonds[bidx].a == from) ? dir : -dir;
+  return eff > 0 ? "/" : "\\";
+}
 
 std::string atom_token(const Mol& mol, int idx, const std::vector<int>& out_neighbor_order);
 
@@ -830,6 +1014,7 @@ void emit_atom(const WriteCtx& ctx, int atom_idx, std::string* out) {
     // Matching bond symbols on both closure sides are legal SMILES.
     const Bond& b = mol.bonds[cl.first];
     *out += bond_symbol(mol, b);
+    *out += dir_symbol(ctx, cl.first, atom_idx);
     if (cl.second >= 10) {
       *out += "%";
       *out += std::to_string(cl.second);
@@ -843,6 +1028,7 @@ void emit_atom(const WriteCtx& ctx, int atom_idx, std::string* out) {
     bool last = (c + 1 == plan.children.size());
     if (!last) *out += "(";
     *out += bond_symbol(mol, b);
+    *out += dir_symbol(ctx, plan.children[c].first, atom_idx);
     emit_atom(ctx, plan.children[c].second, out);
     if (!last) *out += ")";
   }
@@ -855,6 +1041,7 @@ std::string write_fragment(const Mol& mol, const std::vector<int>& ranks, int ro
   ctx.visited.assign(mol.atoms.size(), false);
   ctx.plan.assign(mol.atoms.size(), AtomPlan());
   plan_atom(&ctx, root, -1);
+  assign_directions(&ctx);
   std::string out;
   emit_atom(ctx, root, &out);
   return out;

@@ -58,22 +58,36 @@ def beam_search(
     length_penalty: float = 1.0,
     logits_hook: Optional[Callable] = None,
     hook_init: Optional[Any] = None,
+    stage_size: Optional[int] = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (sequences (B, num_beams, max_length), scores (B, num_beams)).
 
     Sequences start with BOS and are padded with pad_token after EOS; beams
     are sorted best-first by normalized score.
+
+    ``stage_size``: decode in stages with growing cache lengths
+    (stage_size, 2*stage_size, ..., max_length) — early steps stream a cache
+    sized to the prefix actually decoded so far instead of the full
+    max_length buffer (~0.6x the L-dependent per-step traffic for 4 stages).
+    The stage boundaries only change WHERE buffers are padded, never what is
+    attended (positions > t are masked regardless), so results are identical.
+    ``None`` disables staging (single full-length loop).
     """
     cfg = model.config
     batch = encoder_mask.shape[0]
     bos, eos, pad = cfg.decoder_start_token_id, cfg.eos_token_id, cfg.pad_token_id
+
+    if stage_size is None or stage_size >= max_length:
+        bounds = [max_length]
+    else:
+        bounds = list(range(stage_size, max_length, stage_size)) + [max_length]
 
     # Encode once; K/V stay at batch size (beam-invariant).
     encoder_hidden = model.apply(
         variables, encoder_inputs, encoder_mask, method=Seq2SeqModel.encode
     )
     cache = model.apply(
-        variables, batch, num_beams, max_length, encoder_hidden,
+        variables, batch, num_beams, bounds[0], encoder_hidden,
         method=Seq2SeqModel.init_beam_cache,
     )
     decode_step = functools.partial(
@@ -89,19 +103,24 @@ def beam_search(
     finished_scores = jnp.full((batch, num_beams), NEG_INF)
     ancestry = jnp.zeros((batch, num_beams, max_length), dtype=jnp.int32)
 
-    def cond_fn(carry):
-        (t, live_seqs, live_scores, finished_seqs, finished_scores,
-         selves, ancestry, hook_state) = carry
-        # Optimistic bound for any live beam: sum / max_length (sums are <= 0).
-        best_live = jnp.max(live_scores, axis=1)
-        bound = best_live / (float(max_length) ** length_penalty)
-        worst_finished = jnp.min(finished_scores, axis=1)
-        all_done = jnp.all(worst_finished >= bound)
-        return jnp.logical_and(t < max_length - 1, jnp.logical_not(all_done))
+    def make_cond_fn(stage_bound: int):
+        def cond_fn(carry):
+            (t, live_seqs, live_scores, finished_seqs, finished_scores,
+             selves, ancestry, hook_state) = carry
+            # Optimistic bound for a live beam: sum / max_length (sums <= 0).
+            best_live = jnp.max(live_scores, axis=1)
+            bound = best_live / (float(max_length) ** length_penalty)
+            worst_finished = jnp.min(finished_scores, axis=1)
+            all_done = jnp.all(worst_finished >= bound)
+            return jnp.logical_and(
+                t < stage_bound - 1, jnp.logical_not(all_done)
+            )
+        return cond_fn
 
     def body_fn(carry):
         (t, live_seqs, live_scores, finished_seqs, finished_scores,
          selves, ancestry, hook_state) = carry
+        stage_len = selves[0].shape[1]
 
         # This step's K/V rows are written at slot = live-beam index.
         ancestry = ancestry.at[:, :, t].set(
@@ -110,7 +129,7 @@ def beam_search(
         current = live_seqs[:, :, t]
         logits, selves = decode_step(
             current, t, {"self": selves, "cross": cache["cross"]},
-            ancestry, encoder_mask,
+            ancestry[:, :, :stage_len], encoder_mask,
         )
         logits = logits.astype(jnp.float32)          # (B, K, V)
         vocab = logits.shape[-1]
@@ -183,7 +202,20 @@ def beam_search(
 
     carry = (jnp.asarray(0), live_seqs, live_scores, finished_seqs,
              finished_scores, cache["self"], ancestry, hook_init)
-    carry = jax.lax.while_loop(cond_fn, body_fn, carry)
+    for i, stage_bound in enumerate(bounds):
+        if i > 0:
+            # Grow the cache buffers into the next stage's length (zeros
+            # beyond the decoded prefix; masked out by position anyway).
+            (t, live_seqs, live_scores, finished_seqs, finished_scores,
+             selves, anc, hook_state) = carry
+            delta = stage_bound - selves[0].shape[1]
+            selves = [
+                jnp.pad(s, ((0, 0), (0, delta), (0, 0), (0, 0), (0, 0)))
+                for s in selves
+            ]
+            carry = (t, live_seqs, live_scores, finished_seqs,
+                     finished_scores, selves, anc, hook_state)
+        carry = jax.lax.while_loop(make_cond_fn(stage_bound), body_fn, carry)
     (_, live_seqs, live_scores, finished_seqs, finished_scores, _, _, _) = carry
 
     # Finalize: surviving live beams compete with the finished pool

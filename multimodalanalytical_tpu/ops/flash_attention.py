@@ -30,8 +30,11 @@ from jax.experimental import pallas as pl
 
 
 def _interpret() -> bool:
-    # Pallas TPU kernels run in interpreter mode on CPU (tests / dry runs).
-    return jax.default_backend() != "tpu"
+    # Pallas TPU kernels run in interpreter mode only on CPU (tests / dry
+    # runs). The real device platform here is "axon" (a TPU relay), where
+    # Mosaic compiles natively — checking != "tpu" (round 1 / ADVICE r1)
+    # silently interpreted the kernel on the actual TPU.
+    return jax.default_backend() == "cpu"
 
 NEG_INF = -1e9
 
@@ -262,7 +265,11 @@ def flash_attention(
     lk = k.shape[2]
     qualifies = (
         lq >= BLK_Q and lk >= BLK_K
-        and lq % BLK_Q == 0 and lk % BLK_K == 0 and d % 128 == 0
+        # head_dim 64 covers the whole model family (d_model 512-1024 /
+        # 8-16 heads); Mosaic handles a 64-wide minor dim (half a lane
+        # register) fine. Round 1 required d % 128 == 0, which no shipped
+        # config satisfies (ADVICE r1).
+        and lq % BLK_Q == 0 and lk % BLK_K == 0 and d % 64 == 0
         and (bias is None or (bias.shape[-2] == 1 and bias.ndim == 4))
     )
     if not qualifies:
