@@ -3,19 +3,36 @@
 Workload mirrors the reference's IR structure-elucidation recipe
 (reference configs/model/custom_model.yaml + configs/data/ir/patches.yaml):
 custom_model 512-d / 6+6 layers, batch 128, Formula(12 tok) + IR(14x125
-patches) -> SMILES(40 tok), bf16 compute. Measures the jitted train step and
-beam-10 decode (KV-cached) and reports combined spectra/sec/chip for a
-workload where every spectrum is trained on once and decoded once.
+patches) -> SMILES, bf16 compute. Vocab 320 and target length 48 match a
+fitted SMILES tokenizer on NIST-class data (reference tokenizers land in the
+~100-600 range; round 1 used an unrealistic vocab 64 / target 40).
 
-Baseline constant: the reference trains this model on V100-class GPUs with
-Lightning 16-mixed (reference trainer.py:69). A V100 running this 44M-param
-seq2seq at batch 128 sustains ~10 steps/s forward+backward in the best case
-=> ~1280 spectra/s train; its beam-10 decode re-runs the decoder per token
-without KV cache (reference wrapper.py:450), measured at ~0.6 batches/s
-=> ~75 spectra/s decode; combined ~70 spectra/s. vs_baseline is measured
-against that combined estimate.
+Measured quantities:
+  * jitted train step (fwd+bwd+adamw, modality-dropout in graph),
+  * beam-10 decode, WORST CASE: random weights never trigger the early-exit
+    bound, so the full max_length=128 loop runs — the conservative number,
+  * beam-10 decode, TYPICAL: length-48 decode, approximating a trained
+    model whose beams all finish by ~48 tokens (SMILES in the IR corpus are
+    ~15-45 tokens; the early-exit stops the loop there).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline metric: combined spectra/s/chip where every spectrum is trained on
+once and decoded once, using the WORST-CASE decode.
+
+Baseline (REF_COMBINED_SPECTRA_PER_SEC = 70): an estimate for the reference
+on 1x V100, derived as follows and deliberately GENEROUS to the reference —
+  * train: 1.2 TFLOP/step at batch 128 (6 * 44M params * 8.4k tokens),
+    ~30% MFU of 112 TFLOPs fp16 => ~36 ms/step => ~3500 spectra/s;
+  * decode: the reference generates with use_cache=False (wrapper.py:450),
+    re-running the decoder over the whole prefix every step. For a TRAINED
+    model finishing by ~40 tokens that is ~50 TFLOP per 128-batch => ~1.7 s
+    => ~75 spectra/s. (Worst-case len-128 would be ~530 TFLOP => ~7/s; we
+    compare our worst case against their typical case.)
+  * combined: 1/(1/3500 + 1/75) ~= 73, rounded to 70.
+The phosphor paper's only published wall-clock (12 min/run on 1x V100,
+reference paper_replication/phosphor/README.md:32) is consistent with the
+train-side estimate within ~2x but covers a different recipe.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 from __future__ import annotations
@@ -33,16 +50,17 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_COMBINED_SPECTRA_PER_SEC = 70.0
+REF_COMBINED_SPECTRA_PER_SEC = 70.0  # see module docstring for derivation
 
 BATCH = 128
 FORMULA_LEN = 12
 N_PATCHES = 14
 PATCH = 125
-TARGET_LEN = 40
-VOCAB = 64
+TARGET_LEN = 48
+VOCAB = 320
 N_BEAMS = 10
 MAX_DECODE_LEN = 128
+TYPICAL_DECODE_LEN = 48
 
 
 def main() -> None:
@@ -53,7 +71,8 @@ def main() -> None:
         Trainer, _device_batch, _modality_segments,
     )
 
-    model = _flagship(d_model=512, layers=6, ffn=2048, vocab=VOCAB, dtype="bfloat16")
+    model = _flagship(d_model=512, layers=6, ffn=2048, vocab=VOCAB,
+                      dtype="bfloat16")
     batch = dict(
         _example_batch(
             batch=BATCH, n_patches=N_PATCHES, patch=PATCH,
@@ -89,39 +108,51 @@ def main() -> None:
     train_tput = BATCH / train_time
 
     # ---- beam-10 decode --------------------------------------------------
-    def decode(params, enc, mask):
-        return beam_search(
-            model, {"params": params}, enc, mask,
-            num_beams=N_BEAMS, max_length=MAX_DECODE_LEN,
-        )
+    def time_decode(max_length: int, n_decodes: int = 3) -> float:
+        def decode(params, enc, mask):
+            return beam_search(
+                model, {"params": params}, enc, mask,
+                num_beams=N_BEAMS, max_length=max_length,
+            )
 
-    decode_jit = jax.jit(decode)
-    seqs, scores = decode_jit(
-        state.params, device_batch["encoder_inputs"], device_batch["encoder_mask"]
-    )
-    jax.device_get(seqs)
-    n_decodes = 3
-    start = time.perf_counter()
-    for _ in range(n_decodes):
-        seqs, scores = decode_jit(
+        decode_jit = jax.jit(decode)
+        seqs, _ = decode_jit(
             state.params, device_batch["encoder_inputs"],
             device_batch["encoder_mask"],
         )
-        jax.device_get(seqs)
-    decode_time = (time.perf_counter() - start) / n_decodes
-    decode_tput = BATCH / decode_time
+        jax.device_get(seqs[0, 0, 0])
+        start = time.perf_counter()
+        for _ in range(n_decodes):
+            seqs, _ = decode_jit(
+                state.params, device_batch["encoder_inputs"],
+                device_batch["encoder_mask"],
+            )
+            jax.device_get(seqs[0, 0, 0])
+        return (time.perf_counter() - start) / n_decodes
+
+    decode_worst_s = time_decode(MAX_DECODE_LEN)
+    decode_typical_s = time_decode(TYPICAL_DECODE_LEN)
+    decode_tput = BATCH / decode_worst_s
 
     combined = 1.0 / (1.0 / train_tput + 1.0 / decode_tput)
     result = {
         "metric": "ir_recipe_spectra_per_sec_per_chip",
         "value": round(combined, 2),
-        "unit": "spectra/s (train+beam10-decode, batch 128, bf16)",
+        "unit": "spectra/s (train + worst-case beam10 len-128 decode, "
+                "batch 128, bf16, vocab 320)",
         "vs_baseline": round(combined / REF_COMBINED_SPECTRA_PER_SEC, 2),
         "detail": {
             "train_spectra_per_sec": round(train_tput, 1),
-            "decode_spectra_per_sec": round(decode_tput, 1),
             "train_step_ms": round(train_time * 1e3, 2),
-            "decode_batch_s": round(decode_time, 3),
+            "decode_worst_batch_s": round(decode_worst_s, 3),
+            "decode_worst_spectra_per_sec": round(BATCH / decode_worst_s, 1),
+            "decode_typical_batch_s": round(decode_typical_s, 3),
+            "decode_typical_spectra_per_sec": round(
+                BATCH / decode_typical_s, 1),
+            "combined_typical_spectra_per_sec": round(
+                1.0 / (1.0 / train_tput + decode_typical_s / BATCH), 1),
+            "baseline_note": "70/s = reference V100 estimate with "
+                             "TYPICAL-case decode; see bench.py docstring",
             "device": str(jax.devices()[0]),
         },
     }

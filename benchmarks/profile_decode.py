@@ -440,5 +440,55 @@ def run_lazy_pieces():
 
 VARIANTS["lazy_pieces"] = run_lazy_pieces
 
+
+
+def run_kernel_only(length=MAXLEN, label="kernel_only"):
+    """Isolate the fused pallas kernel: 6 calls per step in a fori_loop."""
+    from multimodalanalytical_tpu.ops.beam_attention import (
+        beam_select_attention,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    caches = [jax.random.normal(k, (2, length, BATCH, BEAMS, D_MODEL),
+                                jnp.bfloat16)
+              for k in jax.random.split(ks[0], LAYERS)]
+    q = jax.random.normal(ks[1], (BATCH, BEAMS, D_MODEL), jnp.bfloat16)
+    anc = jax.random.randint(ks[2], (BATCH, BEAMS, length), 0, BEAMS)
+
+    @_scalarize
+    def f(caches, q, anc):
+        def body(t, carry):
+            acc, q = carry
+            pos = jnp.minimum(t, length - 1)
+            for c in caches:
+                out = beam_select_attention(q, c, anc, pos, 8)
+                acc = acc + out.sum()
+                q = out  # serialize layers like the real decoder
+            return acc, q
+        acc, _ = jax.lax.fori_loop(0, STEPS, body, (jnp.float32(0), q))
+        return acc
+
+    bytes_per_step = LAYERS * 2 * BATCH * BEAMS * length * D_MODEL * 2
+    secs = _time(f, caches, q, anc)
+    _report(label, secs, bytes_per_step=bytes_per_step)
+
+
+def run_beam_nostage():
+    model, variables, batch = _model_and_batch()
+    from multimodalanalytical_tpu.generation.beam_search import beam_search
+
+    @_scalarize
+    def f(variables, enc, mask):
+        return beam_search(model, variables, enc, mask, num_beams=BEAMS,
+                           max_length=MAXLEN, stage_size=None)
+
+    secs = _time(f, variables, batch["encoder_inputs"], batch["encoder_mask"])
+    _report("beam_nostage", secs, bytes_per_step=CACHE_BYTES)
+
+
+VARIANTS["kernel_only"] = run_kernel_only
+VARIANTS["kernel_only32"] = lambda: run_kernel_only(32, "kernel_only32")
+VARIANTS["beam_nostage"] = run_beam_nostage
+
 if __name__ == "__main__":
     main()

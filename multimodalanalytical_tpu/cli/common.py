@@ -86,7 +86,10 @@ def build_loaders(
     collator: MultiModalCollator,
     batch_size: int,
     seed: int,
+    test_idx=None,
 ) -> Dict[str, DataLoader]:
+    """``test_idx``: optional path to a .npy int index file selecting test
+    rows (reference datamodules.py:473-491) — replaces the random 10k cap."""
     loaders = {}
     if "train" in dataset_dict:
         loaders["train"] = DataLoader(
@@ -99,10 +102,16 @@ def build_loaders(
             collator, batch_size, shuffle=False,
         )
     if "test" in dataset_dict:
-        loaders["test"] = DataLoader(
-            subsample_dataset(dataset_dict["test"], 10000, seed),
-            collator, batch_size, shuffle=False,
-        )
+        test_set = dataset_dict["test"]
+        if test_idx is not None:
+            import numpy as np
+
+            indices = np.load(test_idx)
+            test_set = test_set.select(indices)
+        else:
+            test_set = subsample_dataset(test_set, 10000, seed)
+        loaders["test"] = DataLoader(test_set, collator, batch_size,
+                                     shuffle=False)
     return loaders
 
 

@@ -75,7 +75,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         data_config_datamodule, preprocessors, dataset["train"], batch_size,
         extra_columns=[predict_class] if predict_class else None,
     )
-    loaders = build_loaders(dataset, collator, batch_size, seed)
+    loaders = build_loaders(dataset, collator, batch_size, seed,
+                            test_idx=config.get("test_idx"))
     target_modality = collator.target_modality
     tokenizer = preprocessors[target_modality]
 

@@ -99,6 +99,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         n_beams=model_config.get("n_beams", 10),
         monitor=config["trainer"].get(
             "checkpoint_monitor", "val_molecular_accuracy"),
+        checkpoint_every_n_vals=config["trainer"].get(
+            "checkpoint_every_n_vals", 1) or 1,
     )
 
     sample_batch = next(iter(loaders["train"]))

@@ -5,7 +5,7 @@ every decode step re-runs the full decoder over the whole prefix
 (reference wrapper.py:443-451, custom_modeling.py:271-320). Here decoding is
 a single ``lax.while_loop`` with:
 
-  * a time-major (2, L, B, K, D) self-attention KV cache whose rows are
+  * a slot-flattened (2, B, L*K, D) self-attention KV cache whose rows are
     written once and NEVER physically reordered. Beam permutations are
     tracked in an int32 ancestry table (B, K, L): ``anc[b, n, l]`` = which
     slot holds beam n's time-l K/V. Attention contracts every live beam's
@@ -120,7 +120,7 @@ def beam_search(
     def body_fn(carry):
         (t, live_seqs, live_scores, finished_seqs, finished_scores,
          selves, ancestry, hook_state) = carry
-        stage_len = selves[0].shape[1]
+        stage_len = selves[0].shape[2] // num_beams
 
         # This step's K/V rows are written at slot = live-beam index.
         ancestry = ancestry.at[:, :, t].set(
@@ -208,9 +208,9 @@ def beam_search(
             # beyond the decoded prefix; masked out by position anyway).
             (t, live_seqs, live_scores, finished_seqs, finished_scores,
              selves, anc, hook_state) = carry
-            delta = stage_bound - selves[0].shape[1]
+            delta = stage_bound * num_beams - selves[0].shape[2]
             selves = [
-                jnp.pad(s, ((0, 0), (0, delta), (0, 0), (0, 0), (0, 0)))
+                jnp.pad(s, ((0, 0), (0, 0), (0, delta), (0, 0)))
                 for s in selves
             ]
             carry = (t, live_seqs, live_scores, finished_seqs,

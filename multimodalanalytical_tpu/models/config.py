@@ -47,6 +47,13 @@ class ModelConfig:
     positional_encoding_type: str = "sin_cos"
     max_position_embeddings: int = 1024
     final_layer_norm: bool = True
+    # Architecture-fidelity knobs for the T5/BART presets (reference
+    # wrapper.py:182-219 instantiates real HF graphs; these reproduce the
+    # distinguishing pieces: RMSNorm + bucketed relative attention bias +
+    # no absolute positions for T5, learned positions + post-LN for BART).
+    norm_type: str = "layernorm"          # layernorm | rmsnorm
+    relative_position_bias: bool = False  # T5 bucketed attention bias
+    use_absolute_positions: bool = True
 
     vocab_size: int = 0            # filled from target tokenizer
     pad_token_id: int = 0
@@ -61,6 +68,9 @@ class ModelConfig:
     # TPU execution knobs (no reference equivalent).
     dtype: str = "float32"         # compute dtype: float32 | bfloat16
     use_flash_attention: bool = False
+    # Fused Pallas kernel for beam-decode self-attention (ops/beam_attention
+    # .py); auto-falls back to the XLA formulation on CPU.
+    use_beam_kernel: bool = True
 
     @property
     def compute_dtype(self):
@@ -70,18 +80,26 @@ class ModelConfig:
 # Reference model_type -> config preset deltas.
 MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "CustomModel": {},
-    # HF BART uses learned positional embeddings and post-LN layers.
+    # HF BART: learned positional embeddings, post-LN layers, GELU
+    # (HF modeling_bart; the reference random-inits it from config,
+    # wrapper.py:200-218).
     "BartForConditionalGeneration": {
-        "positional_encoding_type": "sin_cos",
+        "positional_encoding_type": "learned",
         "post_layer_normalisation": False,
     },
     # CustomBart = BART with pre-LN layers (reference custom_bart_modeling.py).
     "CustomBartForConditionalGeneration": {
+        "positional_encoding_type": "learned",
         "post_layer_normalisation": True,
     },
-    # T5-style: gated FFN.
+    # T5 (original): RMSNorm, ReLU dense FFN, bucketed relative attention
+    # bias instead of absolute positions, pre-LN (HF modeling_t5; reference
+    # wrapper.py:182-199 builds T5ForConditionalGeneration from config).
     "T5ForConditionalGeneration": {
-        "gated_linear": True,
+        "norm_type": "rmsnorm",
+        "activation_function": "relu",
+        "relative_position_bias": True,
+        "use_absolute_positions": False,
         "post_layer_normalisation": True,
     },
 }

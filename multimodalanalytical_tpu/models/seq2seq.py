@@ -52,7 +52,7 @@ class Seq2SeqModel(nn.Module):
             data_config=self.data_config,
             d_model=cfg.d_model,
             embedding_norm=self.multimodal_norm,
-            do_positional_encodings=True,
+            do_positional_encodings=cfg.use_absolute_positions,
             positional_encodings_type=cfg.positional_encoding_type,
             max_seq_len=cfg.max_position_embeddings,
             dtype=dtype,
@@ -63,6 +63,8 @@ class Seq2SeqModel(nn.Module):
             cfg.encoder_ffn_dim, cfg.dropout, cfg.activation_function,
             cfg.gated_linear, cfg.post_layer_normalisation,
             final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            norm_type=cfg.norm_type,
+            relative_bias=cfg.relative_position_bias,
             name="encoder",
         )
         self.decoder = Decoder(
@@ -70,6 +72,9 @@ class Seq2SeqModel(nn.Module):
             cfg.decoder_ffn_dim, cfg.dropout, cfg.activation_function,
             cfg.gated_linear, cfg.post_layer_normalisation,
             final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            use_beam_kernel=getattr(cfg, "use_beam_kernel", True),
+            norm_type=cfg.norm_type,
+            relative_bias=cfg.relative_position_bias,
             name="decoder",
         )
         self.lm_head = nn.Dense(
@@ -134,17 +139,20 @@ class Seq2SeqModel(nn.Module):
     ):
         """Allocate the lazy-ancestry beam-decode cache.
 
-        Returns {"self": [per-layer (2, L, B, K, D) time-major buffers],
-        "cross": [per-layer UN-tiled (k, v)]}. Self rows are written at
-        slot = live-beam index and NEVER physically reordered — beam search
-        keeps an ancestry table instead (see ops/attention.py
-        beam_decode_self_attention). Cross K/V are beam-invariant and stay at
-        batch size (the round-1 design tiled them x K).
+        Returns {"self": [per-layer (2, B, L*K, D) slot-flattened buffers],
+        "cross": [per-layer UN-tiled (k, v)]}. Flat index l*K + s holds the
+        K/V that beam-slot s wrote at time l; rows are written once and
+        NEVER physically reordered — beam search keeps an ancestry table
+        instead (see ops/attention.py beam_decode_self_attention). The flat
+        batch-major layout makes both the per-step write (one contiguous
+        (K, D) block per batch row) and the Pallas kernel's block reads
+        relayout-free. Cross K/V are beam-invariant and stay at batch size
+        (the round-1 design tiled them x K).
         """
         cfg = self.config
         cross = self.decoder.project_cross_kv(encoder_hidden)
         selves = [
-            jnp.zeros((2, max_length, batch_size, num_beams, cfg.d_model),
+            jnp.zeros((2, batch_size, max_length * num_beams, cfg.d_model),
                       dtype=cfg.compute_dtype)
             for _ in range(cfg.decoder_layers)
         ]
@@ -166,13 +174,9 @@ class Seq2SeqModel(nn.Module):
             decode_positions=positions,
         )
         x = embeds.reshape(batch, beams, self.config.d_model)
-        num_slots = ancestry.shape[1]
-        anc_onehot = (
-            ancestry[:, :, :, None] == jnp.arange(num_slots)[None, None, None, :]
-        ).astype(jnp.float32)                      # (B, K, L, K')
         cross_bias = make_attention_bias(encoder_mask)
         hidden, new_selves = self.decoder.beam_decode_step(
-            x, cache["self"], anc_onehot, cache["cross"], cross_bias, position
+            x, cache["self"], ancestry, cache["cross"], cross_bias, position
         )
         logits = self.lm_head(hidden.astype(jnp.float32))
         return logits, new_selves

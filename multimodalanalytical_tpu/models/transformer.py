@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import MultiHeadAttention
+from ..ops.positional import RelativePositionBias
 
 _ACTIVATIONS = {
     "gelu": lambda x: nn.gelu(x, approximate=False),
@@ -53,7 +54,10 @@ class FeedForward(nn.Module):
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
-def _norm(name: str):
+def _norm(name: str, norm_type: str = "layernorm"):
+    """LayerNorm (default) or RMSNorm (T5 fidelity), always fp32."""
+    if norm_type == "rmsnorm":
+        return nn.RMSNorm(dtype=jnp.float32, name=name)
     return nn.LayerNorm(dtype=jnp.float32, name=name)
 
 
@@ -67,6 +71,7 @@ class EncoderLayer(nn.Module):
     norm_first: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    norm_type: str = "layernorm"
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool):
@@ -77,14 +82,15 @@ class EncoderLayer(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
 
         if self.norm_first:
-            normed = _norm("norm1")(x).astype(self.dtype)
+            normed = _norm("norm1", self.norm_type)(x).astype(self.dtype)
             h, _ = attn(normed, normed, bias)
             x = x + drop(h)
-            x = x + ff(_norm("norm2")(x).astype(self.dtype), deterministic)
+            x = x + ff(_norm("norm2", self.norm_type)(x).astype(self.dtype),
+                       deterministic)
         else:
             h, _ = attn(x, x, bias)
-            x = _norm("norm1")(x + drop(h)).astype(self.dtype)
-            x = _norm("norm2")(x + ff(x, deterministic)).astype(self.dtype)
+            x = _norm("norm1", self.norm_type)(x + drop(h)).astype(self.dtype)
+            x = _norm("norm2", self.norm_type)(x + ff(x, deterministic)).astype(self.dtype)
         return x
 
 
@@ -98,11 +104,14 @@ class DecoderLayer(nn.Module):
     norm_first: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_beam_kernel: bool = True
+    norm_type: str = "layernorm"
 
     def setup(self) -> None:
         self.self_attn = MultiHeadAttention(
             self.num_heads, self.d_model, dtype=self.dtype,
-            use_flash=self.use_flash, name="self_attn",
+            use_flash=self.use_flash, use_beam_kernel=self.use_beam_kernel,
+            name="self_attn",
         )
         self.cross_attn = MultiHeadAttention(
             self.num_heads, self.d_model, dtype=self.dtype, name="cross_attn",
@@ -111,9 +120,9 @@ class DecoderLayer(nn.Module):
             self.d_model, self.ffn_dim, self.dropout, self.activation,
             self.gated_linear, dtype=self.dtype, name="ff",
         )
-        self.norm1 = _norm("norm1")
-        self.norm2 = _norm("norm2")
-        self.norm3 = _norm("norm3")
+        self.norm1 = _norm("norm1", self.norm_type)
+        self.norm2 = _norm("norm2", self.norm_type)
+        self.norm3 = _norm("norm3", self.norm_type)
         self.residual_dropout = nn.Dropout(self.dropout)
 
     def project_cross_kv(self, encoder_hidden: jnp.ndarray):
@@ -126,6 +135,7 @@ class DecoderLayer(nn.Module):
         cross_kv,                    # precomputed (k, v)
         cross_bias,
         position,
+        extra_bias=None,             # optional (1, H, 1, L) additive bias
     ):
         """Single-token cached decode through this layer.
 
@@ -133,7 +143,7 @@ class DecoderLayer(nn.Module):
         if self.norm_first:
             normed = self.norm1(x).astype(self.dtype)
             h, self_cache = self.self_attn.decode_self_attention(
-                normed, self_cache, position
+                normed, self_cache, position, extra_bias=extra_bias
             )
             x = x + h
             h = self.cross_attn.decode_cross_attention(
@@ -143,7 +153,7 @@ class DecoderLayer(nn.Module):
             x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic=True)
         else:
             h, self_cache = self.self_attn.decode_self_attention(
-                x, self_cache, position
+                x, self_cache, position, extra_bias=extra_bias
             )
             x = self.norm1(x + h).astype(self.dtype)
             h = self.cross_attn.decode_cross_attention(x, cross_kv, cross_bias)
@@ -155,17 +165,18 @@ class DecoderLayer(nn.Module):
         self,
         x: jnp.ndarray,              # (B, K, D)
         self_cache: jnp.ndarray,     # (2, L, B, K, D) time-major, un-permuted
-        anc_onehot: jnp.ndarray,     # (B, K, L, K') ancestry one-hot
+        ancestry: jnp.ndarray,       # (B, K, L) int32 slot table
         cross_kv,                    # UN-tiled precomputed (k, v)
         cross_bias,                  # (B, 1, 1, Ls)
         position,
+        extra_bias=None,             # optional (1, H, 1, L) additive bias
     ):
         """Lazy-ancestry beam decode through this layer (see
         ops/attention.py beam_decode_self_attention). Returns (x, cache)."""
         if self.norm_first:
             normed = self.norm1(x).astype(self.dtype)
             h, self_cache = self.self_attn.beam_decode_self_attention(
-                normed, self_cache, anc_onehot, position
+                normed, self_cache, ancestry, position, extra_bias=extra_bias
             )
             x = x + h
             h = self.cross_attn.beam_decode_cross_attention(
@@ -175,7 +186,7 @@ class DecoderLayer(nn.Module):
             x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic=True)
         else:
             h, self_cache = self.self_attn.beam_decode_self_attention(
-                x, self_cache, anc_onehot, position
+                x, self_cache, ancestry, position, extra_bias=extra_bias
             )
             x = self.norm1(x + h).astype(self.dtype)
             h = self.cross_attn.beam_decode_cross_attention(
@@ -242,17 +253,26 @@ class Encoder(nn.Module):
     final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    norm_type: str = "layernorm"
+    relative_bias: bool = False
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool):
+        if self.relative_bias:
+            # T5: bidirectional bucketed bias, shared across layers.
+            positions = jnp.arange(x.shape[1])
+            bias = bias + RelativePositionBias(
+                self.num_heads, bidirectional=True, name="rel_bias",
+            )(positions, positions)
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
                 self.activation, self.gated_linear, self.norm_first,
-                dtype=self.dtype, use_flash=self.use_flash, name=f"layer_{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                norm_type=self.norm_type, name=f"layer_{i}",
             )(x, bias, deterministic)
         if self.final_norm:
-            x = _norm("final_norm")(x).astype(self.dtype)
+            x = _norm("final_norm", self.norm_type)(x).astype(self.dtype)
         return x
 
 
@@ -268,18 +288,27 @@ class Decoder(nn.Module):
     final_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_beam_kernel: bool = True
+    norm_type: str = "layernorm"
+    relative_bias: bool = False
 
     def setup(self) -> None:
         self.layers = [
             DecoderLayer(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
                 self.activation, self.gated_linear, self.norm_first,
-                dtype=self.dtype, use_flash=self.use_flash, name=f"layer_{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                use_beam_kernel=self.use_beam_kernel,
+                norm_type=self.norm_type, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]
         if self.final_norm:
-            self.out_norm = _norm("final_norm")
+            self.out_norm = _norm("final_norm", self.norm_type)
+        if self.relative_bias:
+            self.rel_bias = RelativePositionBias(
+                self.num_heads, bidirectional=False, name="rel_bias",
+            )
 
     def project_cross_kv(self, encoder_hidden: jnp.ndarray):
         """Precompute per-layer cross-attention K/V from encoder output."""
@@ -290,24 +319,38 @@ class Decoder(nn.Module):
 
         ``self_caches``: list of per-layer (2, L_max, B, D) fused buffers.
         Returns (hidden (B, 1, D), updated self_caches)."""
+        extra_bias = None
+        if self.relative_bias:
+            length = self_caches[0].shape[2]
+            extra_bias = self.rel_bias(
+                jnp.asarray(position)[None], jnp.arange(length)
+            )                                   # (1, H, 1, L)
         new_caches = []
         for layer, cache, cross_kv in zip(self.layers, self_caches, cross_kvs):
-            x, cache = layer.decode_step(x, cache, cross_kv, cross_bias, position)
+            x, cache = layer.decode_step(x, cache, cross_kv, cross_bias,
+                                         position, extra_bias=extra_bias)
             new_caches.append(cache)
         if self.final_norm:
             x = self.out_norm(x).astype(self.dtype)
         return x, new_caches
 
-    def beam_decode_step(self, x, self_caches, anc_onehot, cross_kvs,
+    def beam_decode_step(self, x, self_caches, ancestry, cross_kvs,
                          cross_bias, position):
         """Lazy-ancestry beam decode through the stack.
 
         ``self_caches``: per-layer (2, L, B, K, D) un-permuted buffers.
         Returns (hidden (B, K, D), updated self_caches)."""
+        extra_bias = None
+        if self.relative_bias:
+            length = ancestry.shape[2]
+            extra_bias = self.rel_bias(
+                jnp.asarray(position)[None], jnp.arange(length)
+            )                                   # (1, H, 1, L)
         new_caches = []
         for layer, cache, cross_kv in zip(self.layers, self_caches, cross_kvs):
             x, cache = layer.beam_decode_step(
-                x, cache, anc_onehot, cross_kv, cross_bias, position
+                x, cache, ancestry, cross_kv, cross_bias, position,
+                extra_bias=extra_bias,
             )
             new_caches.append(cache)
         if self.final_norm:
@@ -324,6 +367,9 @@ class Decoder(nn.Module):
         cache=None,
         cache_index=None,
     ):
+        if self.relative_bias and x.shape[1] > 1:
+            positions = jnp.arange(x.shape[1])
+            self_bias = self_bias + self.rel_bias(positions, positions)
         new_caches = [] if cache is not None else None
         for i, layer in enumerate(self.layers):
             layer_cache = cache[i] if cache is not None else None

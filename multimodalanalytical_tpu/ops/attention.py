@@ -62,6 +62,7 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_beam_kernel: bool = True
 
     def setup(self) -> None:
         init = nn.initializers.xavier_uniform()
@@ -84,6 +85,7 @@ class MultiHeadAttention(nn.Module):
         x: jnp.ndarray,               # (B, 1, D) current-token hidden
         cache_kv: jnp.ndarray,        # (2, B, L_max, D) fused batch-major K/V
         position,                     # scalar step index
+        extra_bias=None,              # optional (1, H, 1, L) additive bias
     ):
         """Single-token cached self-attention.
 
@@ -114,6 +116,8 @@ class MultiHeadAttention(nn.Module):
             "bhd,blhd->bhl", (q * scale).astype(k.dtype), k,
             preferred_element_type=jnp.float32,
         )
+        if extra_bias is not None:
+            logits = logits + extra_bias[0, :, 0, :][None]   # (1, H, L)
         slots = jnp.arange(length)[None, None, :]
         logits = jnp.where(slots <= position, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -127,9 +131,10 @@ class MultiHeadAttention(nn.Module):
     def beam_decode_self_attention(
         self,
         x: jnp.ndarray,            # (B, K, D) current-token hidden per beam
-        cache_kv: jnp.ndarray,     # (2, L, B, K, D) time-major, rows UN-permuted
-        anc_onehot: jnp.ndarray,   # (B, K, L, K') one-hot ancestry (fp32)
+        cache_kv: jnp.ndarray,     # (2, B, L*K, D) slot-flattened, UN-permuted
+        ancestry: jnp.ndarray,     # (B, K, L) int32 slot table
         position,                  # scalar step index
+        extra_bias=None,           # optional (1, H, 1, L) additive bias
     ):
         """Lazy-ancestry cached self-attention for beam search.
 
@@ -141,36 +146,63 @@ class MultiHeadAttention(nn.Module):
 
         Attention contracts q of EVERY live beam against the cache of EVERY
         slot (a real matmul with M = K*H instead of the M=1 matvec of
-        per-beam cached attention — MXU-friendly), then the tiny one-hot
-        mul-reduce selects each beam's ancestor per time step. Extra compute
-        is K x the minimal FLOPs (~10 GFLOP/step at flagship scale — noise on
-        an MXU); extra traffic is two (B,K,H,K',L) intermediates (~100
-        MB/layer), far below the 2x cache traffic a physical gather moves.
+        per-beam cached attention — MXU-friendly), then selects each beam's
+        ancestor per time step. Extra compute is K x the minimal FLOPs
+        (~10 GFLOP/step at flagship scale — noise on an MXU). Two paths:
+        the fused Pallas kernel (ops/beam_attention.py, default on TPU)
+        does the whole read in one pass; the XLA fallback materializes two
+        (B,K,H,K',L) selection intermediates (~100 MB/layer, measured
+        ~10 ms/step at flagship scale vs ~3 ms mandatory cache read).
 
         Returns (out (B, K, D), updated cache).
         """
         batch, beams, _ = x.shape
         head_dim = self.d_model // self.num_heads
-        q = self.q_proj(x).reshape(batch, beams, self.num_heads, head_dim)
+        q_flat = self.q_proj(x)                          # (B, K, D)
         k_new = self.k_proj(x)
         v_new = self.v_proj(x)
-        new_rows = jnp.stack([k_new, v_new])[:, None]    # (2, 1, B, K, D)
+        new_rows = jnp.stack([k_new, v_new])             # (2, B, K, D)
+        # Time-l rows live at flat offset l*K .. l*K+K-1: one contiguous
+        # (K, D) block per batch row per step.
         cache_kv = jax.lax.dynamic_update_slice(
-            cache_kv, new_rows.astype(cache_kv.dtype), (0, position, 0, 0, 0)
+            cache_kv, new_rows.astype(cache_kv.dtype),
+            (0, 0, position * beams, 0),
         )
-        length = cache_kv.shape[1]
+        length = cache_kv.shape[2] // beams
+
+        # The fused kernel pays off when the slot axis is real; greedy
+        # (beams == 1) has no selection problem and the XLA path is already
+        # near the traffic floor there. Relative-bias models (T5 preset)
+        # take the XLA path — the kernel targets the flagship CustomModel.
+        if (beams > 1 and extra_bias is None and self.use_beam_kernel
+                and jax.default_backend() != "cpu"):
+            from .beam_attention import beam_select_attention
+
+            out = beam_select_attention(
+                q_flat.astype(cache_kv.dtype), cache_kv, ancestry, position,
+                self.num_heads,
+            ).astype(x.dtype)
+            return self.out_proj(out), cache_kv
+
+        q = q_flat.reshape(batch, beams, self.num_heads, head_dim)
+        anc_onehot = (
+            ancestry[:, :, :, None]
+            == jnp.arange(beams)[None, None, None, :]
+        ).astype(jnp.float32)                            # (B, K, L, K')
         kv = cache_kv.reshape(
-            2, length, batch, beams, self.num_heads, head_dim
+            2, batch, length, beams, self.num_heads, head_dim
         )
 
         scale = head_dim ** -0.5
         # (B, N, H, K', L): q of each live beam vs the cache of each slot.
         qk_all = jnp.einsum(
-            "bnhd,lbkhd->bnhkl", (q * scale).astype(kv.dtype), kv[0],
+            "bnhd,blkhd->bnhkl", (q * scale).astype(kv.dtype), kv[0],
             preferred_element_type=jnp.float32,
         )
         # Ancestry select: logits[b,n,h,l] = qk_all[b,n,h,anc[b,n,l],l].
         logits = jnp.einsum("bnhkl,bnlk->bnhl", qk_all, anc_onehot)
+        if extra_bias is not None:
+            logits = logits + extra_bias[0, :, 0, :][None, None]  # (H, L)
         slots = jnp.arange(length)[None, None, None, :]
         logits = jnp.where(slots <= position, logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -181,7 +213,7 @@ class MultiHeadAttention(nn.Module):
             anc_onehot.astype(kv.dtype),
         )
         out = jnp.einsum(
-            "bnhlk,lbkhd->bnhd", pw, kv[1],
+            "bnhlk,blkhd->bnhd", pw, kv[1],
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         out = out.reshape(batch, beams, self.d_model)

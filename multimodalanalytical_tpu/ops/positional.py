@@ -68,3 +68,58 @@ POS_ENC_REGISTRY = {
     "sin_cos": SinCosPositionalEncoding,
     "learned": LearnedPositionalEncoding,
 }
+
+
+def t5_relative_bucket(
+    relative_position: jnp.ndarray,
+    bidirectional: bool,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> jnp.ndarray:
+    """T5's relative-position bucketing (HF t5 _relative_position_bucket):
+    half the buckets for exact small offsets, the rest log-spaced."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + jnp.where(n < 0, num_buckets, 0)
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+class RelativePositionBias(nn.Module):
+    """T5-style bucketed relative attention bias (HF modeling_t5
+    T5Attention.compute_bias): one (num_buckets, heads) table per stack,
+    shared across layers like T5's has_relative_attention_bias block-0
+    sharing."""
+
+    num_heads: int
+    bidirectional: bool
+    num_buckets: int = 32
+    max_distance: int = 128
+
+    @nn.compact
+    def __call__(self, query_positions: jnp.ndarray,
+                 key_positions: jnp.ndarray) -> jnp.ndarray:
+        """(Lq,), (Lk,) int positions -> (1, H, Lq, Lk) additive bias."""
+        table = nn.Embed(
+            self.num_buckets, self.num_heads,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+            dtype=jnp.float32, name="rel_bias",
+        )
+        rel = key_positions[None, :] - query_positions[:, None]
+        buckets = t5_relative_bucket(
+            rel, self.bidirectional, self.num_buckets, self.max_distance
+        )
+        bias = table(buckets)                       # (Lq, Lk, H)
+        return bias.transpose(2, 0, 1)[None]        # (1, H, Lq, Lk)

@@ -123,6 +123,7 @@ class Trainer:
         seed: int = 0,
         n_beams: int = 10,
         monitor: str = "val_molecular_accuracy",
+        checkpoint_every_n_vals: int = 1,
     ):
         self.model = model
         self.tokenizer = target_tokenizer
@@ -137,6 +138,13 @@ class Trainer:
         # "loss"-style monitors improve downwards.
         self.monitor = monitor
         self.monitor_mode = "min" if "loss" in monitor else "max"
+        # Checkpoint cadence: a full save moves params + optimizer state
+        # (~0.6 GB at flagship scale) from device to disk — on the axon
+        # tunnel that costs ~45 s, dwarfing a 1-2 s epoch. Saves happen when
+        # the monitored metric improves and otherwise only every N-th
+        # validation (N=1 reproduces the reference's every-epoch cadence).
+        self.checkpoint_every_n_vals = max(int(checkpoint_every_n_vals), 1)
+        self._val_count = 0
         self.tx = build_optimizer(
             optimiser, lr, num_steps, weight_decay, adam_beta1, adam_beta2,
             clip_grad, acc_batches,
@@ -383,18 +391,22 @@ class Trainer:
             for key, value in val_metrics.items():
                 metrics_writer.add_scalar(key, value, global_step)
 
-        if checkpoints is not None:
+        stop = False
+        monitor = val_metrics.get(self.monitor, 0.0)
+        if self.monitor_mode == "min":
+            monitor = -monitor
+
+        self._val_count += 1
+        improved = monitor > best_monitor
+        if checkpoints is not None and (
+            improved or self._val_count % self.checkpoint_every_n_vals == 0
+        ):
             checkpoints.save(
                 global_step,
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": global_step},
                 val_metrics,
             )
-
-        stop = False
-        monitor = val_metrics.get(self.monitor, 0.0)
-        if self.monitor_mode == "min":
-            monitor = -monitor
         if early_stopping_patience is not None:
             if monitor > best_monitor:
                 best_monitor = monitor

@@ -121,3 +121,85 @@ def test_greedy_matches_stepwise_argmax(model_and_params):
         assert (got[:end] == ref[:end]).all(), (b, got, ref)
         if (ref == EOS).any():
             assert got[eos_pos] == EOS
+
+
+@pytest.mark.parametrize("model_type", [
+    "T5ForConditionalGeneration", "BartForConditionalGeneration",
+])
+def test_preset_architectures_train_and_decode(model_type):
+    """T5 (RMSNorm + relative bias, no absolute positions) and BART
+    (learned positions, post-LN) presets: train forward, cache-consistent
+    decode, beam search (reference wrapper.py:182-219 builds real HF graphs
+    for these)."""
+    from multimodalanalytical_tpu.models.config import resolve_model_config
+
+    data_config = {
+        "IR": {"type": "1D_patches", "column": "ir", "target": False,
+               "preprocessor_arguments": {"patch_size": 8}},
+        "Smiles": {"type": "text", "column": "s", "target": True,
+                   "vocab_size": VOCAB, "pad_token_id": PAD,
+                   "preprocessor_arguments": {}},
+    }
+    cfg = resolve_model_config(
+        {"model_type": model_type, "d_model": 32, "encoder_layers": 2,
+         "decoder_layers": 2, "encoder_attention_heads": 4,
+         "decoder_attention_heads": 4, "encoder_ffn_dim": 64,
+         "decoder_ffn_dim": 64, "dropout": 0.0},
+        vocab_size=VOCAB, pad_token_id=PAD, bos_token_id=BOS,
+        eos_token_id=EOS,
+    )
+    if model_type.startswith("T5"):
+        assert cfg.norm_type == "rmsnorm" and cfg.relative_position_bias
+        assert not cfg.use_absolute_positions
+    model = Seq2SeqModel(config=cfg, data_config=data_config,
+                         target_modality="Smiles")
+    rng = np.random.default_rng(1)
+    batch = {
+        "encoder_inputs": {"IR": rng.random((2, 6, 8)).astype(np.float32)},
+        "encoder_mask": np.ones((2, 6), np.int32),
+        "decoder_ids": rng.integers(4, VOCAB, (2, 9)).astype(np.int32),
+        "decoder_mask": np.ones((2, 9), np.int32),
+        "labels": rng.integers(4, VOCAB, (2, 9)).astype(np.int32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    if model_type.startswith("T5"):
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        paths = ["/".join(str(getattr(p, "key", p)) for p in path)
+                 for path, _ in flat]
+        assert any("rel_bias" in p for p in paths), paths
+    out = model.apply(
+        variables, batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    assert np.isfinite(float(out["loss"]))
+
+    # cached decode == full decode (relative bias must agree step-wise)
+    enc_mask = jnp.asarray(batch["encoder_mask"])
+    hidden = model.apply(variables, batch["encoder_inputs"], enc_mask,
+                         method=M.encode)
+    ids = jnp.asarray(batch["decoder_ids"])
+    full_logits = model.apply(
+        variables, ids, jnp.asarray(batch["decoder_mask"]), hidden, enc_mask,
+        method=M.decode_train,
+    )
+    cache = model.apply(variables, 2, ids.shape[1], hidden,
+                        method=M.init_cache)
+    for t in range(ids.shape[1]):
+        logits, cache = model.apply(
+            variables, ids[:, t:t + 1], t, cache, enc_mask,
+            method=M.decode_step,
+        )
+        err = float(jnp.abs(logits - full_logits[:, t]).max())
+        assert err < 1e-3, (model_type, t, err)
+
+    seqs, scores = beam_search(
+        model, variables, batch["encoder_inputs"], enc_mask,
+        num_beams=3, max_length=10,
+    )
+    assert seqs.shape == (2, 3, 10)
+    assert (np.asarray(seqs) == EOS).any(axis=-1).all()

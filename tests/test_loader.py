@@ -54,3 +54,21 @@ def test_producer_error_propagates():
         assert "boom" in str(exc)
     else:
         raise AssertionError("producer error not propagated")
+
+
+def test_predict_index_file(tmp_path):
+    """test_idx selects exactly the indexed rows (reference
+    datamodules.py:473-491)."""
+    import numpy as np
+
+    from multimodalanalytical_tpu.cli.common import build_loaders
+
+    table = TableDataset({"x": list(range(100))})
+    idx_path = tmp_path / "idx.npy"
+    np.save(idx_path, np.asarray([5, 17, 42]))
+    loaders = build_loaders(
+        {"test": table}, lambda cols: {"x": cols["x"]}, batch_size=8, seed=0,
+        test_idx=idx_path,
+    )
+    batches = list(loaders["test"])
+    assert [v for b in batches for v in b["x"]] == [5, 17, 42]

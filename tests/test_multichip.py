@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
 import jax
+import os
 import numpy as np
 import pytest
 
@@ -53,3 +54,108 @@ def test_dp_equals_single_device_loss():
         losses[n_dev] = float(jax.jit(loss_fn)(state.params, db))
 
     assert abs(losses[1] - losses[8]) < 1e-5, losses
+
+
+def test_tp_equals_dp_train_step():
+    """One optimizer step under TP(model=2) x DP(data=4) must match pure
+    DP(data=8) numerically (GSPMD correctness of the TP param rules)."""
+    import __graft_entry__ as graft
+    from multimodalanalytical_tpu.parallel.mesh import (
+        make_mesh, param_shardings, shard_batch,
+    )
+    from multimodalanalytical_tpu.training.trainer import (
+        Trainer, _device_batch, _modality_segments,
+    )
+
+    model = graft._flagship(d_model=64, layers=2, ffn=128)
+    batch = dict(graft._example_batch(batch=8), n_valid=8)
+
+    class _Tok:
+        def batch_decode(self, ids, skip_special_tokens=True):
+            return ["C"] * len(ids)
+
+    results = {}
+    for n_data, n_model in ((8, 1), (4, 2)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[:8])
+        trainer = Trainer(model, _Tok(), num_steps=4, lr=1e-3, mesh=mesh,
+                          seed=0)
+        state = trainer.init_state(batch)
+        if n_model > 1:
+            shardings = param_shardings(state.params, mesh)
+            params = jax.tree_util.tree_map(
+                jax.device_put, state.params, shardings)
+            state = state.replace(params=params)
+        db = shard_batch(_device_batch(batch), mesh)
+        step = trainer._build_train_step(
+            _modality_segments(db["encoder_inputs"]))
+        new_state, metrics = step(state, db)
+        # compare the loss and a parameter slice after the update
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        results[(n_data, n_model)] = (
+            float(metrics["loss"]), np.asarray(leaf, np.float32).ravel()[:64],
+        )
+
+    loss_dp, leaf_dp = results[(8, 1)]
+    loss_tp, leaf_tp = results[(4, 2)]
+    assert abs(loss_dp - loss_tp) < 1e-5, (loss_dp, loss_tp)
+    np.testing.assert_allclose(leaf_dp, leaf_tp, rtol=2e-4, atol=2e-5)
+
+
+def test_multihost_two_process_cpu():
+    """2-process jax.distributed smoke over localhost (VERDICT r1 #9):
+    both processes initialize the coordination service, build a global mesh
+    spanning 2 processes x 4 local CPU devices, and run one sharded
+    computation with a cross-process reduction."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental import multihost_utils
+
+        proc = int(sys.argv[1])
+        jax.distributed.initialize(
+            coordinator_address="localhost:12397",
+            num_processes=2, process_id=proc,
+        )
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 8  # 4 local x 2 processes
+        from multimodalanalytical_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=8, n_model=1)
+        x = multihost_utils.host_local_array_to_global_array(
+            jnp.ones((4, 16)) * (proc + 1), mesh, P("data"))
+        total = jax.jit(
+            lambda a: jnp.sum(a),
+            out_shardings=NamedSharding(mesh, P()),
+        )(x)
+        # rows: 4 from proc0 (ones) + 4 from proc1 (twos) => 16*(4*1+4*2)
+        expected = 16.0 * 12.0
+        assert abs(float(total) - expected) < 1e-6, float(total)
+        print(f"proc{proc} ok", flush=True)
+    """)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-2000:]}"
+        assert f"proc{i} ok" in out
