@@ -449,7 +449,7 @@ def run_kernel_only(length=MAXLEN, label="kernel_only"):
     )
 
     ks = jax.random.split(jax.random.PRNGKey(9), 4)
-    caches = [jax.random.normal(k, (2, length, BATCH, BEAMS, D_MODEL),
+    caches = [jax.random.normal(k, (2, BATCH, length * BEAMS, D_MODEL),
                                 jnp.bfloat16)
               for k in jax.random.split(ks[0], LAYERS)]
     q = jax.random.normal(ks[1], (BATCH, BEAMS, D_MODEL), jnp.bfloat16)
