@@ -174,7 +174,16 @@ class MultiHeadAttention(nn.Module):
         # (beams == 1) has no selection problem and the XLA path is already
         # near the traffic floor there. Relative-bias models (T5 preset)
         # take the XLA path — the kernel targets the flagship CustomModel.
-        if (beams > 1 and extra_bias is None and self.use_beam_kernel
+        # Shape gate: Mosaic needs lane-aligned minors (d_model % 128) and
+        # a lane-sized flat slot axis; tiny test models fall back to XLA.
+        kernel_ok = (
+            beams >= 4
+            and self.d_model % 128 == 0
+            and head_dim % 64 == 0
+            and (length * beams) % 64 == 0
+        )
+        if (beams > 1 and kernel_ok and extra_bias is None
+                and self.use_beam_kernel
                 and jax.default_backend() != "cpu"):
             from .beam_attention import beam_select_attention
 

@@ -423,7 +423,7 @@ class Trainer:
         self, state: TrainState, val_loader: DataLoader, eval_step,
         limit_val_batches: float = 1.0,
     ) -> Dict[str, float]:
-        losses, token_accs, mol_accs = [], [], []
+        losses, token_accs, mol_accs, weights = [], [], [], []
         max_batches = len(val_loader)
         if limit_val_batches < 1.0:
             max_batches = max(1, int(max_batches * limit_val_batches))
@@ -435,6 +435,7 @@ class Trainer:
             device_batch = shard_batch(_device_batch(batch), self.mesh)
             out = eval_step(state.params, device_batch)
             n_valid = batch["n_valid"]
+            weights.append(n_valid)
             losses.append(float(out["loss"]))
             token_accs.append(token_accuracy(
                 np.asarray(batch["labels"])[:n_valid],
@@ -454,10 +455,17 @@ class Trainer:
             )
             mol_accs.append(scores.get("Top-1", 0.0))
 
+        # Weight batch metrics by real row counts: the final batch may be
+        # padded with dummy rows (unweighted averaging biased the metric).
+        def wavg(values):
+            if not values:
+                return 0.0
+            return float(np.average(values, weights=weights))
+
         return {
-            "val_loss": float(np.mean(losses)) if losses else 0.0,
-            "val_token_acc": float(np.mean(token_accs)) if token_accs else 0.0,
-            "val_molecular_accuracy": float(np.mean(mol_accs)) if mol_accs else 0.0,
+            "val_loss": wavg(losses),
+            "val_token_acc": wavg(token_accs),
+            "val_molecular_accuracy": wavg(mol_accs),
         }
 
     # ----------------------------------------------------------- predict

@@ -205,3 +205,56 @@ def test_guided_decoder_single_compile():
         )
         assert seqs.shape == (2, 2, 8)
     assert compiles["n"] == 1, "guided decode retraced across batches"
+
+
+def test_surrogate_subsumes_exact_on_corpus():
+    """Relationship between the two guided modes over a molecule corpus:
+
+    * rule 1: exact-matching prefixes (full formula incl. H) are a SUBSET of
+      surrogate-matching prefixes (heavy atoms only) — wherever exact forces
+      EOS, surrogate forces EOS too;
+    * rule 2: surrogate's heavy-atom undershoot implies exact's undershoot
+      (heavy < target_heavy => formula < target) — wherever surrogate bans
+      EOS, exact bans EOS.
+    """
+    from multimodalanalytical_tpu.generation.guided import (
+        make_exact_formula_hook,
+        make_formula_hook,
+    )
+
+    corpus = ["CCO", "CC(=O)O", "c1ccccc1", "CCN", "CCS", "CC(C)O",
+              "CC(=O)OCl", "C=CC", "CC#N"]
+    tok = build_regex_tokenizer(corpus, SMILES_REGEX)
+    table = build_token_atom_table(
+        tok.vocab, ["<pad>", "<unk>", "<bos>", "<eos>"])
+    eos = tok.eos_token_id
+    vocab_size = max(tok.vocab.values()) + 1
+    surro = make_formula_hook(table, eos)
+    exact = make_exact_formula_hook(
+        table, eos, lambda ids: tok.batch_decode(ids, skip_special_tokens=True)
+    )
+
+    checked = 0
+    for target in corpus:
+        target_counts = target_formula_counts([target])
+        for prefix_mol in corpus:
+            enc = tok([prefix_mol], padding="max_length", max_length=16)
+            ids = np.asarray(enc["input_ids"][0])
+            # live row: BOS + tokens, strip eos/pad to make an open prefix
+            body = [t for t in ids if t not in
+                    (tok.pad_token_id, tok.eos_token_id)]
+            live = np.full((1, 1, 16), tok.pad_token_id, np.int32)
+            live[0, 0, :len(body)] = body
+            t = len(body) - 1
+            state = {"target": jnp.asarray(target_counts[:, None, :])}
+            logits = jnp.zeros((1, 1, vocab_size))
+            _, s_out = surro(state, logits, jnp.asarray(live), t)
+            _, e_out = exact(state, logits, jnp.asarray(live), t)
+            s_out = np.asarray(s_out)
+            e_out = np.asarray(e_out)
+            if e_out[0, 0, eos] == 0.0 and np.isfinite(e_out[0, 0, eos]):
+                assert s_out[0, 0, eos] == 0.0, (target, prefix_mol)
+            if s_out[0, 0, eos] == -np.inf:
+                assert e_out[0, 0, eos] == -np.inf, (target, prefix_mol)
+            checked += 1
+    assert checked == len(corpus) ** 2
