@@ -92,7 +92,18 @@ def main():
         return loss, jax.tree_util.tree_map(lambda g: g.sum(), grads)
 
     @jax.jit
+    def fwd_bwd_drop_rbg(p, r):
+        rbg = jax.random.wrap_key_data(
+            jax.random.key_data(jax.random.split(r, 2)).reshape(4)
+            .astype(jnp.uint32), impl="rbg")
+        loss, grads = jax.value_and_grad(lambda q: loss_fn(q, False, rbg))(p)
+        return loss, jax.tree_util.tree_map(lambda g: g.sum(), grads)
+
+    @jax.jit
     def full_step(p, s, r):
+        r = jax.random.wrap_key_data(
+            jax.random.key_data(jax.random.split(r, 2)).reshape(4)
+            .astype(jnp.uint32), impl="rbg")
         loss, grads = jax.value_and_grad(lambda q: loss_fn(q, False, r))(p)
         updates, s = opt.update(grads, s, p)
         p = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
@@ -105,8 +116,8 @@ def main():
         p = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
         return p, s
 
-    names = sys.argv[1:] or ["fwd", "fwd_bwd", "fwd_bwd_drop", "opt_only",
-                             "full_step"]
+    names = sys.argv[1:] or ["fwd", "fwd_bwd", "fwd_bwd_drop",
+                             "fwd_bwd_drop_rbg", "opt_only", "full_step"]
     print(f"device={jax.devices()[0]} b={BATCH} tgt={TARGET_LEN} vocab={VOCAB}")
     for name in names:
         if name == "fwd":
@@ -115,6 +126,8 @@ def main():
             dt = _time_step(fwd_bwd, params)
         elif name == "fwd_bwd_drop":
             dt = _time_step(fwd_bwd_drop, params, rng)
+        elif name == "fwd_bwd_drop_rbg":
+            dt = _time_step(fwd_bwd_drop_rbg, params, rng)
         elif name == "opt_only":
             dt = _time_step(opt_only, params, opt_state)
         elif name == "full_step":

@@ -26,6 +26,7 @@
 //     exact-match Top-N scoring requires.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <functional>
 #include <cstring>
@@ -1292,6 +1293,220 @@ int copy_out(const std::string& s, char* out, int out_len) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// 3D conformer embedding (distance geometry + spring refinement)
+//
+// Replaces RDKit's EmbedMolecule for the dataset-paper tooling
+// (reference paper_replication/scripts_ir_nmr_multimodal_comp_spectra_dataset/
+// scripts/make_xyz_file_from_smiles.py:22-29). Produces chemically plausible
+// starting geometries — ideal bond lengths from covalent radii,
+// hybridization-derived 1-3 distances, rigid aromatic-ring chord sets, and a
+// soft nonbonded lower bound — refined by Adam on the squared distance
+// errors from a random start (best of a few restarts). CPMD/DFT workflows
+// geometry-optimize their inputs, so this fidelity level is fit for purpose;
+// these are NOT equilibrium structures.
+// ---------------------------------------------------------------------------
+
+namespace embed3d {
+
+double covalent_radius(int z) {
+  switch (z) {
+    case 1: return 0.31;
+    case 5: return 0.84;
+    case 6: return 0.76;
+    case 7: return 0.71;
+    case 8: return 0.66;
+    case 9: return 0.57;
+    case 14: return 1.11;
+    case 15: return 1.07;
+    case 16: return 1.05;
+    case 17: return 1.02;
+    case 33: return 1.19;
+    case 34: return 1.20;
+    case 35: return 1.20;
+    case 53: return 1.39;
+    default: return 0.9;
+  }
+}
+
+struct Spring { int a, b; double d0, w; };
+struct LowerBound { int a, b; double dmin, w; };
+
+struct Site { int z; };
+
+void build_system(const Mol& mol, std::vector<Site>* sites,
+                  std::vector<Spring>* springs,
+                  std::vector<LowerBound>* lowers) {
+  int n_heavy = static_cast<int>(mol.atoms.size());
+  for (const auto& a : mol.atoms) sites->push_back({a.z});
+
+  // adjacency (heavy graph) + bond springs
+  std::vector<std::vector<std::pair<int, double>>> nbrs(n_heavy);
+  for (const auto& b : mol.bonds) {
+    double d0 = covalent_radius(mol.atoms[b.a].z) + covalent_radius(mol.atoms[b.b].z);
+    if (b.order == BOND_DOUBLE) d0 *= 0.89;
+    else if (b.order == BOND_TRIPLE) d0 *= 0.80;
+    else if (b.order == BOND_AROMATIC) d0 *= 0.93;
+    springs->push_back({b.a, b.b, d0, 10.0});
+    nbrs[b.a].push_back({b.b, d0});
+    nbrs[b.b].push_back({b.a, d0});
+  }
+
+  // explicit hydrogens
+  for (int a = 0; a < n_heavy; ++a) {
+    double dH = covalent_radius(mol.atoms[a].z) + covalent_radius(1);
+    for (int h = 0; h < mol.atoms[a].n_h; ++h) {
+      int idx = static_cast<int>(sites->size());
+      sites->push_back({1});
+      springs->push_back({a, idx, dH, 10.0});
+      nbrs[a].push_back({idx, dH});
+      if (idx >= static_cast<int>(nbrs.size())) nbrs.resize(idx + 1);
+      nbrs[idx].push_back({a, dH});
+    }
+  }
+  int n = static_cast<int>(sites->size());
+
+  // hybridization-derived 1-3 distances (law of cosines)
+  auto angle_for = [&](int center) {
+    if (center >= n_heavy) return 109.47;
+    const Atom& atom = mol.atoms[center];
+    int n_double = 0, n_triple = 0;
+    for (int bi : atom.bonds) {
+      if (mol.bonds[bi].order == BOND_DOUBLE) ++n_double;
+      if (mol.bonds[bi].order == BOND_TRIPLE) ++n_triple;
+    }
+    if (n_triple > 0 || n_double >= 2) return 180.0;
+    if (n_double == 1 || atom.aromatic) return 120.0;
+    return 109.47;
+  };
+  std::set<std::pair<int, int>> constrained;
+  for (const auto& s : *springs) {
+    constrained.insert({std::min(s.a, s.b), std::max(s.a, s.b)});
+  }
+  for (int c = 0; c < n; ++c) {
+    double theta = angle_for(c) * 3.14159265358979 / 180.0;
+    const auto& local = nbrs[c];
+    for (size_t i = 0; i < local.size(); ++i) {
+      for (size_t j = i + 1; j < local.size(); ++j) {
+        double di = local[i].second, dj = local[j].second;
+        double d = std::sqrt(di * di + dj * dj - 2 * di * dj * std::cos(theta));
+        auto key = std::make_pair(std::min(local[i].first, local[j].first),
+                                  std::max(local[i].first, local[j].first));
+        if (constrained.count(key)) continue;
+        constrained.insert(key);
+        springs->push_back({key.first, key.second, d, 3.0});
+      }
+    }
+  }
+
+  // rigid aromatic rings: full chord-distance sets (enforces planarity)
+  for (const auto& ring : find_rings(mol, 7)) {
+    bool aromatic = true;
+    for (int a : ring) aromatic = aromatic && mol.atoms[a].aromatic;
+    if (!aromatic || ring.size() < 5) continue;
+    int m = static_cast<int>(ring.size());
+    double edge = 2 * covalent_radius(6) * 0.93;
+    double radius = edge / (2 * std::sin(3.14159265358979 / m));
+    for (int i = 0; i < m; ++i) {
+      for (int j = i + 1; j < m; ++j) {
+        int k = std::min(j - i, m - (j - i));
+        if (k <= 1) continue;
+        double chord = 2 * radius * std::sin(k * 3.14159265358979 / m);
+        auto key = std::make_pair(std::min(ring[i], ring[j]),
+                                  std::max(ring[i], ring[j]));
+        if (constrained.count(key)) continue;
+        constrained.insert(key);
+        // strong weight: the full chord set pins the ring planar
+        springs->push_back({key.first, key.second, chord, 8.0});
+      }
+    }
+  }
+
+  // nonbonded lower bounds for every unconstrained pair
+  for (int i = 0; i < n; ++i) {
+    for (int j = i + 1; j < n; ++j) {
+      if (constrained.count({i, j})) continue;
+      bool has_h = (*sites)[i].z == 1 || (*sites)[j].z == 1;
+      lowers->push_back({i, j, has_h ? 1.6 : 2.2, 1.0});
+    }
+  }
+}
+
+double refine(std::vector<double>* coords, const std::vector<Spring>& springs,
+              const std::vector<LowerBound>& lowers, int iters) {
+  int n = static_cast<int>(coords->size() / 3);
+  std::vector<double> grad(n * 3), m1(n * 3, 0.0), m2(n * 3, 0.0);
+  double loss = 0.0;
+  for (int it = 0; it < iters; ++it) {
+    // cosine-decayed step: coarse placement early, tight convergence late
+    double lr = 0.001 + 0.049 * 0.5 *
+                (1.0 + std::cos(3.14159265358979 * it / iters));
+    std::fill(grad.begin(), grad.end(), 0.0);
+    loss = 0.0;
+    auto accumulate = [&](int a, int b, double d0, double w, bool lower_only) {
+      double dx = (*coords)[3 * a] - (*coords)[3 * b];
+      double dy = (*coords)[3 * a + 1] - (*coords)[3 * b + 1];
+      double dz = (*coords)[3 * a + 2] - (*coords)[3 * b + 2];
+      double d = std::sqrt(dx * dx + dy * dy + dz * dz) + 1e-9;
+      if (lower_only && d >= d0) return;
+      double diff = d - d0;
+      loss += w * diff * diff;
+      double g = 2.0 * w * diff / d;
+      grad[3 * a] += g * dx;     grad[3 * b] -= g * dx;
+      grad[3 * a + 1] += g * dy; grad[3 * b + 1] -= g * dy;
+      grad[3 * a + 2] += g * dz; grad[3 * b + 2] -= g * dz;
+    };
+    for (const auto& s : springs) accumulate(s.a, s.b, s.d0, s.w, false);
+    for (const auto& l : lowers) accumulate(l.a, l.b, l.dmin, l.w, true);
+    double b1 = 0.9, b2 = 0.999;
+    double corr1 = 1.0 - std::pow(b1, it + 1);
+    double corr2 = 1.0 - std::pow(b2, it + 1);
+    for (size_t i = 0; i < grad.size(); ++i) {
+      m1[i] = b1 * m1[i] + (1 - b1) * grad[i];
+      m2[i] = b2 * m2[i] + (1 - b2) * grad[i] * grad[i];
+      (*coords)[i] -= lr * (m1[i] / corr1) / (std::sqrt(m2[i] / corr2) + 1e-8);
+    }
+  }
+  return loss;
+}
+
+std::string embed_xyz(const Mol& mol, unsigned seed) {
+  std::vector<Site> sites;
+  std::vector<Spring> springs;
+  std::vector<LowerBound> lowers;
+  build_system(mol, &sites, &springs, &lowers);
+  int n = static_cast<int>(sites.size());
+
+  std::mt19937 rng(seed * 2654435761u + 12345u);
+  std::normal_distribution<double> normal(0.0, 1.0);
+  double scale = 1.0 + 0.4 * std::cbrt(static_cast<double>(n));
+  std::vector<double> best;
+  double best_loss = 1e30;
+  for (int attempt = 0; attempt < 3; ++attempt) {
+    std::vector<double> coords(n * 3);
+    for (auto& c : coords) c = normal(rng) * scale;
+    double loss = refine(&coords, springs, lowers, 4000);
+    if (loss < best_loss) {
+      best_loss = loss;
+      best = coords;
+    }
+  }
+
+  char line[128];
+  std::string out = std::to_string(n) + "\n";
+  out += "generated by multimodalanalytical_tpu chem engine (distance "
+         "geometry; pre-optimization geometry)\n";
+  for (int i = 0; i < n; ++i) {
+    snprintf(line, sizeof(line), "%s %.4f %.4f %.4f\n",
+             number_to_symbol(sites[i].z), best[3 * i], best[3 * i + 1],
+             best[3 * i + 2]);
+    out += line;
+  }
+  return out;
+}
+
+}  // namespace embed3d
+
 extern "C" {
 
 // Returns 0 on success, -1 on parse/sanitize failure, -2 buffer too small.
@@ -1425,6 +1640,15 @@ int afm_atom_counts(const char* smiles, const int* zs, int n, int* counts) {
     counts[i] = it == by_z.end() ? 0 : it->second;
   }
   return 0;
+}
+
+
+// XYZ-format 3D conformer (distance-geometry embedding; see namespace
+// embed3d). Returns 0 on success, -1 on parse failure, -2 small buffer.
+int afm_embed3d(const char* smiles, unsigned seed, char* out, int out_len) {
+  Mol mol;
+  if (!parse_and_sanitize(smiles, &mol)) return -1;
+  return copy_out(embed3d::embed_xyz(mol, seed), out, out_len);
 }
 
 }  // extern "C"

@@ -10,6 +10,7 @@ from .smiles import (
     ChemEngineError,
     atom_counts,
     canonicalize,
+    embed_3d,
     is_valid,
     mol_formula,
     random_smiles,
@@ -20,6 +21,7 @@ __all__ = [
     "ChemEngineError",
     "atom_counts",
     "canonicalize",
+    "embed_3d",
     "is_valid",
     "mol_formula",
     "random_smiles",

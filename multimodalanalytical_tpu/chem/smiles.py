@@ -87,6 +87,10 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_char_p, ctypes.c_int,
             ]
             lib.afm_atom_environment.restype = ctypes.c_int
+            lib.afm_embed3d.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint, ctypes.c_char_p, ctypes.c_int,
+            ]
+            lib.afm_embed3d.restype = ctypes.c_int
             lib.afm_atom_counts.argtypes = [
                 ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int),
@@ -175,3 +179,21 @@ def atom_counts(smiles: str, atoms: Sequence[str] = GUIDED_ATOM_LIST) -> Optiona
     if rc != 0:
         return None
     return list(counts)
+
+
+def embed_3d(smiles: str, seed: int = 0) -> Optional[str]:
+    """XYZ-format 3D conformer via the engine's distance-geometry embedder.
+
+    Replaces RDKit EmbedMolecule for the dataset-paper tooling (reference
+    scripts_ir_nmr_multimodal_comp_spectra_dataset/scripts/
+    make_xyz_file_from_smiles.py:22-29). Geometries are refinement-grade
+    starting structures (CPMD/DFT optimizes them), not equilibrium ones.
+    Returns the full XYZ block (count, comment, atom lines) or None for
+    invalid SMILES.
+    """
+    lib = _get_lib()
+    buf = ctypes.create_string_buffer(_OUT_LEN * 64)
+    rc = lib.afm_embed3d(smiles.encode("utf-8"), seed, buf, _OUT_LEN * 64)
+    if rc != 0:
+        return None
+    return buf.value.decode("utf-8")

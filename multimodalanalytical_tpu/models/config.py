@@ -67,7 +67,10 @@ class ModelConfig:
 
     # TPU execution knobs (no reference equivalent).
     dtype: str = "float32"         # compute dtype: float32 | bfloat16
-    use_flash_attention: bool = False
+    # Pallas flash attention for long encoder sequences (>= 2048 tokens:
+    # RLE / text-spectrum configs); short shapes auto-fall back to XLA,
+    # so the default is safe for every config.
+    use_flash_attention: bool = True
     # Fused Pallas kernel for beam-decode self-attention (ops/beam_attention
     # .py); auto-falls back to the XLA formulation on CPU.
     use_beam_kernel: bool = True

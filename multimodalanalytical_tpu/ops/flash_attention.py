@@ -59,7 +59,7 @@ def _attention_reference(q, k, v, bias):
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, blk_k: int):
     """One Q block against all K/V blocks with online softmax.
 
-    Ref blocks: q (1, BLK_Q, D), k/v (1, Lk, D), bias (1, Lk).
+    Ref blocks: q (1, BLK_Q, D), k/v (1, Lk, D), bias (1, 1, Lk).
     Outputs: o (1, BLK_Q, D), lse (1, BLK_Q, 1).
     """
     q = q_ref[0].astype(jnp.float32)
@@ -82,7 +82,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, blk_k: int):
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        logits = logits + bias_ref[0, pl.ds(start, blk_k)][None, :].astype(jnp.float32)
+        logits = logits + bias_ref[0, 0, pl.ds(start, blk_k)][None, :].astype(jnp.float32)
 
         blk_max = jnp.max(logits, axis=-1)
         new_max = jnp.maximum(row_max, blk_max)
@@ -107,7 +107,9 @@ def _fwd(q, k, v, bias_row, blk_q: int, blk_k: int):
     qf = q.reshape(b * h, lq, d)
     kf = k.reshape(b * h, lk, d)
     vf = v.reshape(b * h, lk, d)
-    biasf = jnp.repeat(bias_row, h, axis=0)  # (B*H, Lk)
+    # (B*H, 1, Lk): the singleton middle keeps the block's trailing dims
+    # equal to the array dims (Mosaic block-shape rule).
+    biasf = jnp.repeat(bias_row, h, axis=0)[:, None, :]
 
     grid = (b * h, pl.cdiv(lq, blk_q))
     out, lse = pl.pallas_call(
@@ -117,7 +119,7 @@ def _fwd(q, k, v, bias_row, blk_q: int, blk_k: int):
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, lk), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
@@ -156,7 +158,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
         logits = jax.lax.dot_general(
             q * scale, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_ref[0, pl.ds(start, blk_k)][None, :].astype(jnp.float32)
+        ) + bias_ref[0, 0, pl.ds(start, blk_k)][None, :].astype(jnp.float32)
         probs = jnp.exp(logits - lse[:, None])
 
         dprobs = jax.lax.dot_general(
@@ -195,7 +197,7 @@ def _bwd(blk_q, blk_k, res, do):
     of = out.reshape(b * h, lq, d)
     dof = do.reshape(b * h, lq, d)
     lsef = lse.reshape(b * h, lq, 1)
-    biasf = jnp.repeat(bias_row, h, axis=0)
+    biasf = jnp.repeat(bias_row, h, axis=0)[:, None, :]
 
     n_q_blocks = pl.cdiv(lq, blk_q)
     grid = (b * h, n_q_blocks)
@@ -206,7 +208,7 @@ def _bwd(blk_q, blk_k, res, do):
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, lk), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, lk), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, blk_q, 1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
@@ -263,13 +265,16 @@ def flash_attention(
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # Engage where the kernel measurably wins (v5e, B8 H8 D64 L4096:
+    # fwd 18.9 -> 15.8 ms, bwd 50.9 -> 33.0 ms vs the XLA path, which
+    # materializes the (B, H, L, L) logits). Short sequences (patch IR,
+    # decoder) stay on XLA, where it is optimal.
+    # head_dim 64 covers the whole model family (d_model 512-1024 / 8-16
+    # heads). Round 1 required d % 128 == 0, which no shipped config
+    # satisfies (ADVICE r1), and required L % 256 == 0, which real
+    # tokenized spectra never are — ragged tails are now padded internally.
     qualifies = (
-        lq >= BLK_Q and lk >= BLK_K
-        # head_dim 64 covers the whole model family (d_model 512-1024 /
-        # 8-16 heads); Mosaic handles a 64-wide minor dim (half a lane
-        # register) fine. Round 1 required d % 128 == 0, which no shipped
-        # config satisfies (ADVICE r1).
-        and lq % BLK_Q == 0 and lk % BLK_K == 0 and d % 64 == 0
+        lq >= 2048 and lq == lk and d % 64 == 0
         and (bias is None or (bias.shape[-2] == 1 and bias.ndim == 4))
     )
     if not qualifies:
@@ -278,4 +283,15 @@ def flash_attention(
         bias_row = jnp.zeros((b, lk), dtype=jnp.float32)
     else:
         bias_row = jnp.broadcast_to(bias[:, 0, 0, :], (b, lk)).astype(jnp.float32)
-    return _flash(q, k, v, bias_row, BLK_Q, BLK_K)
+    # Pad sequence dims up to block multiples; padded keys are masked via
+    # the bias row, padded query rows are sliced off the output.
+    pad_q = (-lq) % BLK_Q
+    pad_k = (-lk) % BLK_K
+    if pad_q or pad_k:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        bias_row = jnp.pad(bias_row, ((0, 0), (0, pad_k)),
+                           constant_values=NEG_INF)
+    out = _flash(q, k, v, bias_row, BLK_Q, BLK_K)
+    return out[:, :, :lq, :]

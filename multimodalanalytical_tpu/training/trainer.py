@@ -203,6 +203,17 @@ class Trainer:
         def train_step(state: TrainState, batch: Dict[str, Any]):
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             drop_rng, modality_rng = jax.random.split(step_rng)
+            # Dropout masks draw ~10^8 random bits/step; threefry generation
+            # measured at 12.4 ms/step on v5e (benchmarks/profile_train.py).
+            # Re-key the dropout stream through the rbg generator (~10x
+            # cheaper bits); the carried state stays a plain threefry key so
+            # checkpoints and determinism per (seed, step) are unchanged.
+            drop_rng = jax.random.wrap_key_data(
+                jax.random.key_data(
+                    jax.random.split(drop_rng, 2)
+                ).reshape(4).astype(jnp.uint32),
+                impl="rbg",
+            )
             encoder_mask = apply_modality_dropout(
                 modality_rng, batch["encoder_mask"]
             )

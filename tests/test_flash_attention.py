@@ -50,3 +50,30 @@ def test_small_shapes_fall_back(qkv):
     q = jnp.asarray(rng.standard_normal((2, 4, 26, 64)), jnp.float32)
     out = flash_attention(q, q, q, None)
     assert out.shape == q.shape
+
+
+def test_flash_ragged_length_padding():
+    """Real tokenized spectra are not block multiples; the kernel pads
+    internally and must match the XLA reference at a ragged length."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalanalytical_tpu.ops.flash_attention import (
+        _attention_reference, flash_attention,
+    )
+
+    B, H, L, D = 2, 2, 2100, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, L, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, L, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, L, D), jnp.float32)
+    keep = jnp.ones((B, L), jnp.int32).at[:, L - 50:].set(0)
+    bias = jnp.where(keep[:, None, None, :] > 0, 0.0, -1e9)
+
+    want = np.asarray(_attention_reference(q, k, v, bias))
+    got = np.asarray(flash_attention(q, k, v, bias))
+    assert got.shape == want.shape
+    err = np.abs(want - got).max()
+    assert err < 2e-3, err
