@@ -120,6 +120,56 @@ def spectrum_for(smiles: str, x: np.ndarray) -> np.ndarray:
     return np.clip(spec, 0.0, None)
 
 
+def _hash_int(text: str, mod: int) -> int:
+    return int.from_bytes(hashlib.sha256(text.encode()).digest()[:4],
+                          "little") % mod
+
+
+def carbon_peaks_for(smiles: str):
+    """Deterministic 13C peak list: one peak per carbon occurrence, shift
+    from a region base (aromatic / carbonyl / heteroatom-adjacent / alkyl)
+    plus a local-trigram hash offset — a learnable structure->shift map that
+    composes to unseen molecules (same design as the IR fingerprint)."""
+    peaks = []
+    for i, ch in enumerate(smiles):
+        if ch not in ("C", "c"):
+            continue
+        if ch == "C" and i + 1 < len(smiles) and smiles[i + 1] == "l":
+            continue  # chlorine
+        ctx = smiles[max(0, i - 2): i + 3]
+        if ch == "c":
+            base, spread = 118.0, 28.0
+        elif "=O" in smiles[i: i + 4] or "(=O)" in ctx:
+            base, spread = 165.0, 40.0
+        elif any(x in ctx for x in ("O", "N", "o", "n")):
+            base, spread = 50.0, 40.0
+        else:
+            base, spread = 10.0, 35.0
+        delta = base + spread * _hash_int(f"c:{ctx}", 1000) / 1000.0
+        peaks.append({"delta (ppm)": round(delta, 2),
+                      "intensity": 1.0})
+    return peaks or [{"delta (ppm)": 0.0, "intensity": 0.0}]
+
+
+def multiplets_for(smiles: str):
+    """Deterministic 1H multiplets keyed by local trigrams (same
+    composability argument as carbon_peaks_for)."""
+    cats = ["s", "d", "t", "q", "m"]
+    grams = {smiles[i:i + 3] for i in range(max(1, len(smiles) - 2))}
+    peaks = []
+    for gram in sorted(grams):
+        h = _hash_int(f"h:{gram}", 100000)
+        centroid = 0.5 + 7.5 * (h % 1000) / 1000.0
+        peaks.append({
+            "rangeMax": round(centroid + 0.06, 3),
+            "rangeMin": round(centroid - 0.06, 3),
+            "category": cats[(h // 1000) % len(cats)],
+            "nH": 1 + (h // 7000) % 3,
+            "j_values": None,
+        })
+    return peaks
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=4000)
@@ -127,6 +177,8 @@ def main() -> None:
                         default=Path("/tmp/synth_ir_dataset"))
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--noise", type=float, default=0.005)
+    parser.add_argument("--multimodal", action="store_true",
+                        help="also emit h_nmr_peaks / c_nmr_peaks columns")
     args = parser.parse_args()
 
     import pyarrow as pa
@@ -147,13 +199,18 @@ def main() -> None:
         rows_spec.append(np.clip(spec, 0, None).astype(np.float32).tolist())
 
     args.out.mkdir(parents=True, exist_ok=True)
-    table = pa.table({
+    columns = {
         "smiles": molecules,
         "molecular_formula": rows_formula,
         "ir_spectra": rows_spec,
-    })
+    }
+    if args.multimodal:
+        columns["h_nmr_peaks"] = [multiplets_for(s) for s in molecules]
+        columns["c_nmr_peaks"] = [carbon_peaks_for(s) for s in molecules]
+    table = pa.table(columns)
     pq.write_table(table, args.out / "ir_data.parquet")
-    print(f"wrote {len(molecules)} rows to {args.out}/ir_data.parquet")
+    print(f"wrote {len(molecules)} rows to {args.out}/ir_data.parquet"
+          + (" (multimodal)" if args.multimodal else ""))
 
 
 if __name__ == "__main__":
