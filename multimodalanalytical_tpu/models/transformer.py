@@ -114,7 +114,8 @@ class DecoderLayer(nn.Module):
             name="self_attn",
         )
         self.cross_attn = MultiHeadAttention(
-            self.num_heads, self.d_model, dtype=self.dtype, name="cross_attn",
+            self.num_heads, self.d_model, dtype=self.dtype, mode="cross",
+            name="cross_attn",
         )
         self.ff = FeedForward(
             self.d_model, self.ffn_dim, self.dropout, self.activation,

@@ -55,20 +55,49 @@ def dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _block_xavier(n_blocks: int):
+    """Xavier-uniform applied per output block of a fused projection, so a
+    fused (D, n*D) kernel initializes identically-distributed to n separate
+    (D, D) kernels."""
+    base = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype):
+        in_dim, out_total = shape
+        block = out_total // n_blocks
+        keys = jax.random.split(key, n_blocks)
+        return jnp.concatenate(
+            [base(k, (in_dim, block), dtype) for k in keys], axis=1
+        )
+
+    return init
+
+
 class MultiHeadAttention(nn.Module):
-    """Projection + attention; supports cached incremental decoding."""
+    """Projection + attention; supports cached incremental decoding.
+
+    ``mode`` selects the projection fusion: "self" fuses q/k/v into ONE
+    matmul (they share the input; 3 separate matmuls cost 2 extra kernel
+    launches per layer per decode step), "cross" keeps q separate and fuses
+    k/v (they share the encoder input).
+    """
 
     num_heads: int
     d_model: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_beam_kernel: bool = True
+    mode: str = "self"             # "self" (fused qkv) | "cross" (q + fused kv)
 
     def setup(self) -> None:
         init = nn.initializers.xavier_uniform()
-        self.q_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
-        self.k_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
-        self.v_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+        if self.mode == "self":
+            self.qkv_proj = nn.Dense(3 * self.d_model, dtype=self.dtype,
+                                     kernel_init=_block_xavier(3))
+        else:
+            self.q_proj = nn.Dense(self.d_model, dtype=self.dtype,
+                                   kernel_init=init)
+            self.kv_proj = nn.Dense(2 * self.d_model, dtype=self.dtype,
+                                    kernel_init=_block_xavier(2))
         self.out_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -76,9 +105,15 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.d_model // self.num_heads
         return x.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
+    def _qkv(self, x: jnp.ndarray):
+        """Fused q/k/v projection (flat (B, L, D) each)."""
+        fused = self.qkv_proj(x)
+        return jnp.split(fused, 3, axis=-1)
+
     def project_kv(self, kv_input: jnp.ndarray):
         """Project encoder K/V once for reuse across all decode steps."""
-        return self._split(self.k_proj(kv_input)), self._split(self.v_proj(kv_input))
+        k, v = jnp.split(self.kv_proj(kv_input), 2, axis=-1)
+        return self._split(k), self._split(v)
 
     def decode_self_attention(
         self,
@@ -98,9 +133,8 @@ class MultiHeadAttention(nn.Module):
         """
         head_dim = self.d_model // self.num_heads
         batch = x.shape[0]
-        q = self._split(self.q_proj(x))[:, :, 0, :]        # (B, H, Dh)
-        k_new = self.k_proj(x)[:, :, :]                    # (B, 1, D)
-        v_new = self.v_proj(x)[:, :, :]
+        q_flat, k_new, v_new = self._qkv(x)
+        q = self._split(q_flat)[:, :, 0, :]                # (B, H, Dh)
         new_rows = jnp.stack([k_new, v_new])               # (2, B, 1, D)
         cache_kv = jax.lax.dynamic_update_slice(
             cache_kv, new_rows.astype(cache_kv.dtype), (0, 0, position, 0)
@@ -158,9 +192,7 @@ class MultiHeadAttention(nn.Module):
         """
         batch, beams, _ = x.shape
         head_dim = self.d_model // self.num_heads
-        q_flat = self.q_proj(x)                          # (B, K, D)
-        k_new = self.k_proj(x)
-        v_new = self.v_proj(x)
+        q_flat, k_new, v_new = self._qkv(x)              # (B, K, D) each
         new_rows = jnp.stack([k_new, v_new])             # (2, B, K, D)
         # Time-l rows live at flat offset l*K .. l*K+K-1: one contiguous
         # (K, D) block per batch row per step.
@@ -286,12 +318,19 @@ class MultiHeadAttention(nn.Module):
         ``bias``). ``precomputed_kv`` short-circuits the K/V projections for
         cross-attention (encoder K/V projected once per sequence).
         """
-        q = self._split(self.q_proj(query_input))
-        if precomputed_kv is not None:
-            k, v = precomputed_kv
+        if self.mode == "self":
+            q_flat, k_flat, v_flat = self._qkv(query_input)
+            q = self._split(q_flat)
+            k = self._split(k_flat)
+            v = self._split(v_flat)
         else:
-            k = self._split(self.k_proj(kv_input))
-            v = self._split(self.v_proj(kv_input))
+            q = self._split(self.q_proj(query_input))
+            if precomputed_kv is not None:
+                k, v = precomputed_kv
+            else:
+                k, v = jnp.split(self.kv_proj(kv_input), 2, axis=-1)
+                k = self._split(k)
+                v = self._split(v)
 
         new_cache = None
         if cache is not None:

@@ -76,8 +76,11 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 # shard their hidden dimension over 'model'; everything else is replicated
 # (embeddings and LayerNorms are small at this model scale).
 _TP_RULES = [
-    (re.compile(r"(q_proj|k_proj|v_proj)/kernel$"), P(None, "model")),
-    (re.compile(r"(q_proj|k_proj|v_proj)/bias$"), P("model")),
+    # Fused projections shard their (stacked) output dim; the post-matmul
+    # split then crosses shard boundaries (GSPMD inserts the reshard) —
+    # correct, mildly suboptimal vs head-aligned sharding.
+    (re.compile(r"(q_proj|qkv_proj|kv_proj)/kernel$"), P(None, "model")),
+    (re.compile(r"(q_proj|qkv_proj|kv_proj)/bias$"), P("model")),
     (re.compile(r"out_proj/kernel$"), P("model", None)),
     (re.compile(r"(linear1|gate)/kernel$"), P(None, "model")),
     (re.compile(r"(linear1|gate)/bias$"), P("model")),
