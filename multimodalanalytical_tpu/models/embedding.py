@@ -135,7 +135,15 @@ class MultimodalEmbedding(nn.Module):
         parts = []
         position_parts = []
         offset = 0
-        for modality in inputs:
+        # Iterate in the STATIC data_config order, never the input dict's:
+        # jit canonicalizes dict pytrees to sorted key order, which would
+        # silently scramble the concat order against the collator's mask
+        # layout for any config whose sorted order differs (multimodal:
+        # Formula,Multiplets,Carbon,IR sorts to Carbon,Formula,IR,...).
+        ordered = [m for m in self.data_config if m in inputs]
+        # target-modality decode calls pass single keys not in encoder order
+        ordered += [m for m in inputs if m not in ordered]
+        for modality in ordered:
             embedding, explicit_positions = self.embed_modality(modality, inputs[modality])
             parts.append(embedding)
             seg_len = embedding.shape[1]

@@ -93,6 +93,32 @@ class CheckpointManager:
         return best["step"] if best else None
 
 
+def _migrate_fused_projections(node: Any, name: str = "") -> Any:
+    """Migrate pre-fusion attention params (separate q_proj/k_proj/v_proj)
+    to the fused layout: self-attention fuses q/k/v into qkv_proj;
+    cross-attention (identified by module name) fuses k/v into kv_proj and
+    keeps q_proj. Pure output-dim concatenation — lossless."""
+    import numpy as np
+
+    if not isinstance(node, dict):
+        return node
+    out = {k: _migrate_fused_projections(v, k) for k, v in node.items()}
+
+    def fuse(keys, target):
+        parts = [out.pop(k) for k in keys]
+        out[target] = {
+            "kernel": np.concatenate([p["kernel"] for p in parts], axis=-1),
+            "bias": np.concatenate([p["bias"] for p in parts], axis=-1),
+        }
+
+    if {"k_proj", "v_proj"} <= set(out):
+        if name == "cross_attn":
+            fuse(("k_proj", "v_proj"), "kv_proj")
+        elif "q_proj" in out:
+            fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj")
+    return out
+
+
 def restore_params(path: Path, template_params: Any = None) -> Any:
     """Restore a params pytree from any checkpoint dir saved by this module.
 
@@ -100,12 +126,15 @@ def restore_params(path: Path, template_params: Any = None) -> Any:
     modality embeddings than the current serving config still loads — flax
     ``apply`` simply never looks the extra entries up
     (reference predict.py:71-77 trims the datamodule config the same way).
+    Pre-fusion checkpoints (separate q/k/v projections) are migrated to the
+    fused layout on load.
     """
     del template_params
     path = Path(path).resolve()
     checkpointer = ocp.PyTreeCheckpointer()
     tree = checkpointer.restore(path)
-    return tree["params"] if "params" in tree else tree
+    params = tree["params"] if "params" in tree else tree
+    return _migrate_fused_projections(params)
 
 
 def load_finetune_params(
@@ -117,6 +146,7 @@ def load_finetune_params(
     checkpointer = ocp.PyTreeCheckpointer()
     raw = checkpointer.restore(path)
     params = raw["params"] if "params" in raw else raw
+    params = _migrate_fused_projections(params)
     dropped = 0
     if strip_align and "align_network" in params:
         params = {k: v for k, v in params.items() if k != "align_network"}

@@ -91,11 +91,19 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 def _modality_segments(
     encoder_inputs: Dict[str, Any],
+    order: Optional[Sequence[str]] = None,
 ) -> List[Tuple[str, int, int]]:
-    """(modality, start, end) over the concatenated source axis."""
+    """(modality, start, end) over the concatenated source axis.
+
+    ``order``: canonical modality order (the data config's); REQUIRED
+    whenever the dict may have passed through a jit/pytree boundary, which
+    canonicalizes dict keys to sorted order and would misattribute segments.
+    """
     segments = []
     offset = 0
-    for modality, value in encoder_inputs.items():
+    names = [m for m in (order or encoder_inputs) if m in encoder_inputs]
+    for modality in names:
+        value = encoder_inputs[modality]
         if isinstance(value, dict):
             length = value["tokenized_input"].shape[1]
         else:
@@ -319,7 +327,10 @@ class Trainer:
             for batch in train_loader:
                 device_batch = shard_batch(_device_batch(batch), self.mesh)
                 if self._train_step is None:
-                    segments = _modality_segments(device_batch["encoder_inputs"])
+                    segments = _modality_segments(
+                        device_batch["encoder_inputs"],
+                        order=list(self.model.data_config),
+                    )
                     self._train_step = self._build_train_step(segments)
                 if profile_dir and global_step == 2:
                     jax.profiler.start_trace(profile_dir)

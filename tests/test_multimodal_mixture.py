@@ -176,3 +176,74 @@ def test_mixture_streaming_through_collator_with_alignment():
     assert batch["align_target"].shape == (4, 1800)
     assert (batch["align_target"] != 0).any()
     assert "Percentage" not in batch["encoder_inputs"]
+
+
+def test_modality_order_stable_under_jit():
+    """jit canonicalizes dict pytrees to SORTED key order; the embedding and
+    segment math must follow the static data-config order instead, or any
+    config whose sorted order differs (e.g. multimodal:
+    Formula,Multiplets,Carbon,IR) silently scrambles embeddings against the
+    collator's mask layout (round-2 bug found via multitask serving)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalanalytical_tpu.models import ModelConfig, Seq2SeqModel
+    from multimodalanalytical_tpu.training.trainer import _modality_segments
+
+    # config order deliberately NOT sorted
+    data_config = {
+        "Formula": {"type": "text", "column": "f", "target": False,
+                    "vocab_size": 16, "pad_token_id": 0,
+                    "preprocessor_arguments": {}},
+        "Carbon": {"type": "carbon", "column": "c", "target": False,
+                   "vocab_size": 16, "pad_token_id": 0,
+                   "preprocessor_arguments": {}},
+        "Smiles": {"type": "text", "column": "s", "target": True,
+                   "vocab_size": 16, "pad_token_id": 0,
+                   "preprocessor_arguments": {}},
+    }
+    cfg = ModelConfig(d_model=32, encoder_layers=1, decoder_layers=1,
+                      encoder_attention_heads=4, decoder_attention_heads=4,
+                      encoder_ffn_dim=64, decoder_ffn_dim=64, vocab_size=16,
+                      dropout=0.0)
+    model = Seq2SeqModel(config=cfg, data_config=data_config,
+                         target_modality="Smiles")
+    rng = np.random.default_rng(0)
+    batch = {
+        "encoder_inputs": {
+            "Formula": rng.integers(4, 16, (2, 5)).astype(np.int32),
+            "Carbon": rng.integers(4, 16, (2, 7)).astype(np.int32),
+        },
+        "encoder_mask": np.ones((2, 12), np.int32),
+        "decoder_ids": rng.integers(4, 16, (2, 6)).astype(np.int32),
+        "decoder_mask": np.ones((2, 6), np.int32),
+        "labels": rng.integers(4, 16, (2, 6)).astype(np.int32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+
+    def loss(inputs):
+        out = model.apply(
+            {"params": variables["params"]}, inputs, batch["encoder_mask"],
+            batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+            deterministic=True,
+        )
+        return out["loss"]
+
+    raw = float(loss(batch["encoder_inputs"]))
+    jitted = float(jax.jit(loss)(batch["encoder_inputs"]))
+    # dict with reversed insertion order must also agree
+    reversed_inputs = dict(reversed(list(batch["encoder_inputs"].items())))
+    swapped = float(loss(reversed_inputs))
+    assert abs(raw - jitted) < 1e-5, (raw, jitted)
+    assert abs(raw - swapped) < 1e-5, (raw, swapped)
+
+    # segment attribution must follow the given canonical order
+    segs = _modality_segments(
+        {k: jnp.asarray(v) for k, v in sorted(batch["encoder_inputs"].items())},
+        order=["Formula", "Carbon"],
+    )
+    assert segs == [("Formula", 0, 5), ("Carbon", 5, 12)]

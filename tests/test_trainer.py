@@ -99,3 +99,54 @@ def test_predict_returns_beams(setup):
     assert len(out["predictions"]) == len(table)
     assert all(len(beams) == 3 for beams in out["predictions"])
     assert out["targets"][:2] == ["CCO", "CCN"]
+
+
+def test_checkpoint_fused_projection_migration():
+    """Pre-fusion checkpoints (separate q/k/v projections) load into the
+    fused layout losslessly."""
+    import numpy as np
+
+    from multimodalanalytical_tpu.training.checkpoint import (
+        _migrate_fused_projections,
+    )
+
+    rng = np.random.default_rng(0)
+    old = {
+        "encoder": {
+            "layer_0": {
+                "self_attn": {
+                    "q_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                    "k_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                    "v_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                    "out_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                },
+            },
+        },
+        "decoder": {
+            "layer_0": {
+                "cross_attn": {
+                    "q_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                    "k_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                    "v_proj": {"kernel": rng.random((8, 8)), "bias": rng.random(8)},
+                },
+            },
+        },
+    }
+    new = _migrate_fused_projections(old)
+    enc = new["encoder"]["layer_0"]["self_attn"]
+    assert "qkv_proj" in enc and "q_proj" not in enc
+    assert enc["qkv_proj"]["kernel"].shape == (8, 24)
+    np.testing.assert_array_equal(
+        enc["qkv_proj"]["kernel"][:, :8],
+        old["encoder"]["layer_0"]["self_attn"]["q_proj"]["kernel"],
+    )
+    assert "out_proj" in enc
+    # cross attention keeps q separate and fuses only k/v
+    cross = new["decoder"]["layer_0"]["cross_attn"]
+    assert "q_proj" in cross and "kv_proj" in cross
+    assert "qkv_proj" not in cross and "k_proj" not in cross
+    assert cross["kv_proj"]["kernel"].shape == (8, 16)
+    np.testing.assert_array_equal(
+        cross["kv_proj"]["kernel"][:, 8:],
+        old["decoder"]["layer_0"]["cross_attn"]["v_proj"]["kernel"],
+    )
