@@ -81,7 +81,11 @@ std::vector<int> organic_valences(int z) {
   switch (z) {
     case 5: return {3};
     case 6: return {4};
-    case 7: return {3, 5};
+    // OpenSMILES lists N valences {3, 5}, but RDKit (the reference's
+    // chemistry) rejects neutral hypervalent N ("Explicit valence ... is
+    // greater than permitted") — uncharged pentavalent nitro/nitrile-adduct
+    // SMILES must be written in charged form. Match RDKit.
+    case 7: return {3};
     case 8: return {2};
     case 15: return {3, 5};
     case 16: return {2, 4, 6};
