@@ -146,9 +146,23 @@ def load_parquet_dir(
         import pyarrow as pa
 
         table = pa.concat_tables(tables)
-        out[split] = TableDataset(
-            {name: table.column(name).to_pylist() for name in table.column_names}
-        )
+        columns_out: Dict[str, List[Any]] = {}
+        for name in table.column_names:
+            column = table.column(name)
+            # Numeric list columns (spectra) decode to per-row float32
+            # ndarrays ONCE here — to_pylist() hands the hot path Python
+            # lists of 1800 floats that every batch re-parses (~1 ms/row,
+            # measured as the mixture pipeline's bottleneck).
+            value_type = getattr(column.type, "value_type", None)
+            if value_type is not None and pa.types.is_floating(value_type):
+                columns_out[name] = [
+                    None if row is None
+                    else np.asarray(row, dtype=np.float32)
+                    for row in column.to_pylist()
+                ]
+            else:
+                columns_out[name] = column.to_pylist()
+        out[split] = TableDataset(columns_out)
     if not out:
         raise ValueError(f"No parquet files found under {data_path}")
     return out
@@ -326,7 +340,7 @@ def mix_spectra(
 
     smiles_col = dataset["Smiles"]
     formula_col = dataset["Formula"]
-    ir_col = [np.asarray(s, dtype=np.float64) for s in dataset["IR"]]
+    ir_col = [np.asarray(s, dtype=np.float32) for s in dataset["IR"]]
     n_rows = len(dataset)
     num_expected = math.perm(n_rows, n_compounds)
 
@@ -364,19 +378,25 @@ def mix_spectra(
             if normalize:
                 combined = normalize_spectrum(combined)
             if combined.shape[0] != 1800:  # pad real data
-                combined = np.concatenate([combined, np.zeros(1800 - combined.shape[0])])
+                combined = np.concatenate(
+                    [combined, np.zeros(1800 - combined.shape[0],
+                                        dtype=combined.dtype)])
+            combined = combined.astype(np.float32)
             for i in range(n_compounds):
                 if ratios[i] == 0:
                     continue
+                # ndarrays, not lists: the collator re-parses Python lists
+                # at ~1 ms per 1800-float row (the round-2 mixture pipeline
+                # bottleneck — 405 samples/s host-bound vs ~5k on chip).
                 yield {
                     "Smiles": smiles_col[idx[i]],
                     "Formula": formula_col[idx[i]],
-                    "IR": combined.tolist(),
+                    "IR": combined,
                     "Additional_smiles": ",".join(
                         smiles_col[idx[j]] for j in range(n_compounds) if j != i
                     ),
                     "Percentage": f"{ratios[i]}",
-                    "IR_target": ir_col[idx[i]].tolist(),
+                    "IR_target": ir_col[idx[i]],
                 }
 
 
