@@ -490,5 +490,106 @@ VARIANTS["kernel_only"] = run_kernel_only
 VARIANTS["kernel_only32"] = lambda: run_kernel_only(32, "kernel_only32")
 VARIANTS["beam_nostage"] = run_beam_nostage
 
+
+def run_kernel_only_q8(length=MAXLEN, label="kernel_q8"):
+    """Isolate the fused kernel with the int8 cache (half the HBM bytes)."""
+    from multimodalanalytical_tpu.ops.beam_attention import (
+        beam_select_attention,
+    )
+
+    H = 8
+    ks = jax.random.split(jax.random.PRNGKey(10), 5)
+    caches = [
+        jax.random.randint(k, (2, BATCH, length * BEAMS, D_MODEL),
+                           -127, 128, jnp.int8)
+        for k in jax.random.split(ks[0], LAYERS)
+    ]
+    scales = [
+        jax.random.uniform(k, (2, BATCH, H, length * BEAMS), jnp.float32,
+                           0.005, 0.02)
+        for k in jax.random.split(ks[3], LAYERS)
+    ]
+    q = jax.random.normal(ks[1], (BATCH, BEAMS, D_MODEL), jnp.bfloat16)
+    anc = jax.random.randint(ks[2], (BATCH, BEAMS, length), 0, BEAMS)
+
+    @_scalarize
+    def f(caches, scales, q, anc):
+        def body(t, carry):
+            acc, q = carry
+            pos = jnp.minimum(t, length - 1)
+            for c, s in zip(caches, scales):
+                out = beam_select_attention(q, c, anc, pos, H, scales=s)
+                acc = acc + out.sum()
+                q = out
+            return acc, q
+        acc, _ = jax.lax.fori_loop(0, STEPS, body, (jnp.float32(0), q))
+        return acc
+
+    bytes_per_step = LAYERS * 2 * BATCH * BEAMS * length * (D_MODEL + H * 4)
+    secs = _time(f, caches, scales, q, anc)
+    _report(label, secs, bytes_per_step=bytes_per_step)
+
+
+def run_stepops():
+    """The full beam search with self-attention stubbed out (cache write +
+    identity): everything EXCEPT the kernel — projections, cross-attn, FFN,
+    lm_head, bookkeeping, loop."""
+    from multimodalanalytical_tpu.ops.attention import MultiHeadAttention
+
+    orig = MultiHeadAttention.beam_decode_self_attention
+
+    def stub(self, x, cache_kv, ancestry, position, extra_bias=None):
+        batch, beams, _ = x.shape
+        q_flat, k_new, v_new = self._qkv(x)
+        new_rows = jnp.stack([k_new, v_new])
+        store = cache_kv["data"] if isinstance(cache_kv, dict) else cache_kv
+        store = jax.lax.dynamic_update_slice(
+            store, new_rows.astype(store.dtype), (0, 0, position * beams, 0))
+        if isinstance(cache_kv, dict):
+            cache_kv = dict(cache_kv, data=store)
+        else:
+            cache_kv = store
+        return self.out_proj(q_flat), cache_kv
+
+    MultiHeadAttention.beam_decode_self_attention = stub
+    try:
+        model, variables, batch = _model_and_batch()
+        from multimodalanalytical_tpu.generation.beam_search import beam_search
+
+        @_scalarize
+        def f(variables, enc, mask):
+            return beam_search(model, variables, enc, mask, num_beams=BEAMS,
+                               max_length=MAXLEN)
+
+        secs = _time(f, variables, batch["encoder_inputs"],
+                     batch["encoder_mask"])
+        _report("stepops", secs)
+    finally:
+        MultiHeadAttention.beam_decode_self_attention = orig
+
+
+def run_beam_full_q8(stage=32, label="beam_full_q8"):
+    import dataclasses
+
+    model, variables, batch = _model_and_batch()
+    model = dataclasses.replace(model, config=dataclasses.replace(
+        model.config, kv_cache_dtype="int8"))
+    from multimodalanalytical_tpu.generation.beam_search import beam_search
+
+    @_scalarize
+    def f(variables, enc, mask):
+        return beam_search(model, variables, enc, mask, num_beams=BEAMS,
+                           max_length=MAXLEN, stage_size=stage)
+
+    secs = _time(f, variables, batch["encoder_inputs"], batch["encoder_mask"])
+    _report(label, secs, bytes_per_step=CACHE_BYTES // 2)
+
+
+VARIANTS["kernel_q8"] = run_kernel_only_q8
+VARIANTS["kernel_q8_32"] = lambda: run_kernel_only_q8(32, "kernel_q8_32")
+VARIANTS["stepops"] = run_stepops
+VARIANTS["beam_full_q8"] = run_beam_full_q8
+VARIANTS["beam_full_q8_s16"] = lambda: run_beam_full_q8(16, "beam_full_q8_s16")
+
 if __name__ == "__main__":
     main()

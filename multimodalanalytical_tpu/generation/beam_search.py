@@ -82,13 +82,27 @@ def beam_search(
     else:
         bounds = list(range(stage_size, max_length, stage_size)) + [max_length]
 
+    # int8 KV cache (ModelConfig.kv_cache_dtype): only when every stage
+    # shape satisfies the fused kernel's gate (ops/attention.py kernel_ok) —
+    # the XLA fallback would otherwise dequantize the whole cache per step.
+    head_dim = cfg.d_model // cfg.decoder_attention_heads
+    quantize = (
+        getattr(cfg, "kv_cache_dtype", "bfloat16") == "int8"
+        and num_beams >= 4
+        and cfg.d_model % 128 == 0
+        and head_dim % 64 == 0
+        and all((b * num_beams) % 64 == 0 for b in bounds)
+        and not cfg.relative_position_bias
+        and getattr(cfg, "use_beam_kernel", True)
+    )
+
     # Encode once; K/V stay at batch size (beam-invariant).
     encoder_hidden = model.apply(
         variables, encoder_inputs, encoder_mask, method=Seq2SeqModel.encode
     )
     cache = model.apply(
         variables, batch, num_beams, bounds[0], encoder_hidden,
-        method=Seq2SeqModel.init_beam_cache,
+        quantize, method=Seq2SeqModel.init_beam_cache,
     )
     decode_step = functools.partial(
         model.apply, variables, method=Seq2SeqModel.beam_decode_step
@@ -120,7 +134,8 @@ def beam_search(
     def body_fn(carry):
         (t, live_seqs, live_scores, finished_seqs, finished_scores,
          selves, ancestry, hook_state) = carry
-        stage_len = selves[0].shape[2] // num_beams
+        first = selves[0]["data"] if isinstance(selves[0], dict) else selves[0]
+        stage_len = first.shape[2] // num_beams
 
         # This step's K/V rows are written at slot = live-beam index.
         ancestry = ancestry.at[:, :, t].set(
@@ -208,11 +223,20 @@ def beam_search(
             # beyond the decoded prefix; masked out by position anyway).
             (t, live_seqs, live_scores, finished_seqs, finished_scores,
              selves, anc, hook_state) = carry
-            delta = stage_bound * num_beams - selves[0].shape[2]
-            selves = [
-                jnp.pad(s, ((0, 0), (0, 0), (0, delta), (0, 0)))
-                for s in selves
-            ]
+
+            def _grow(s):
+                if isinstance(s, dict):
+                    delta = stage_bound * num_beams - s["data"].shape[2]
+                    return {
+                        "data": jnp.pad(
+                            s["data"], ((0, 0), (0, 0), (0, delta), (0, 0))),
+                        "scale": jnp.pad(
+                            s["scale"], ((0, 0), (0, 0), (0, 0), (0, delta))),
+                    }
+                delta = stage_bound * num_beams - s.shape[2]
+                return jnp.pad(s, ((0, 0), (0, 0), (0, delta), (0, 0)))
+
+            selves = [_grow(s) for s in selves]
             carry = (t, live_seqs, live_scores, finished_seqs,
                      finished_scores, selves, anc, hook_state)
         carry = jax.lax.while_loop(make_cond_fn(stage_bound), body_fn, carry)

@@ -74,6 +74,13 @@ class ModelConfig:
     # Fused Pallas kernel for beam-decode self-attention (ops/beam_attention
     # .py); auto-falls back to the XLA formulation on CPU.
     use_beam_kernel: bool = True
+    # Beam-decode KV-cache storage dtype: "bfloat16" (exact) | "int8"
+    # (per-slot-per-head symmetric quantization — halves the dominant decode
+    # HBM traffic; see PROFILE.md for the measured speed/accuracy trade).
+    # Only the beam self-attention cache is quantized; scores/logits stay
+    # fp32 and training is untouched. Ineligible shapes (beams < 4, tiny
+    # d_model) silently stay bf16.
+    kv_cache_dtype: str = "bfloat16"
 
     @property
     def compute_dtype(self):

@@ -135,7 +135,7 @@ class Seq2SeqModel(nn.Module):
 
     def init_beam_cache(
         self, batch_size: int, num_beams: int, max_length: int,
-        encoder_hidden: jnp.ndarray,
+        encoder_hidden: jnp.ndarray, quantize: bool = False,
     ):
         """Allocate the lazy-ancestry beam-decode cache.
 
@@ -151,11 +151,26 @@ class Seq2SeqModel(nn.Module):
         """
         cfg = self.config
         cross = self.decoder.project_cross_kv(encoder_hidden)
-        selves = [
-            jnp.zeros((2, batch_size, max_length * num_beams, cfg.d_model),
-                      dtype=cfg.compute_dtype)
-            for _ in range(cfg.decoder_layers)
-        ]
+        flat = max_length * num_beams
+        if quantize:
+            # int8 storage + per-(slot, head) fp32 dequant scales — halves
+            # the dominant decode HBM traffic (see ops/beam_attention.py).
+            heads = cfg.decoder_attention_heads
+            selves: list = [
+                {
+                    "data": jnp.zeros((2, batch_size, flat, cfg.d_model),
+                                      dtype=jnp.int8),
+                    "scale": jnp.zeros((2, batch_size, heads, flat),
+                                       dtype=jnp.float32),
+                }
+                for _ in range(cfg.decoder_layers)
+            ]
+        else:
+            selves = [
+                jnp.zeros((2, batch_size, flat, cfg.d_model),
+                          dtype=cfg.compute_dtype)
+                for _ in range(cfg.decoder_layers)
+            ]
         return {"self": selves, "cross": cross}
 
     def beam_decode_step(

@@ -24,6 +24,33 @@ import jax.numpy as jnp
 NEG_INF = -1e9  # large-negative bias (bf16-safe; true -inf breaks softmax grads)
 
 
+def quantize_kv_heads(x: jnp.ndarray, num_heads: int):
+    """Per-(row, head) symmetric int8 quantization of K/V rows.
+
+    ``x``: (..., D) new cache rows. Returns (q int8 same shape,
+    scales (..., H) fp32) with ``x ≈ q * scales`` per 64/128-wide head block.
+    Head granularity keeps one outlier dim from wrecking the whole row while
+    staying cheap to apply post-matmul (the scale is constant across the
+    contracted head dims, so it commutes out of q.K and probs.V)."""
+    head_dim = x.shape[-1] // num_heads
+    xh = x.reshape(x.shape[:-1] + (num_heads, head_dim)).astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(xh), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xh / scales[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(x.shape), scales
+
+
+def dequantize_kv(data: jnp.ndarray, scale: jnp.ndarray, num_heads: int):
+    """Inverse of the cache quantization for the XLA fallback path.
+
+    ``data``: (2, B, F, D) int8, ``scale``: (2, B, H, F) fp32 ->
+    (2, B, F, D) bf16."""
+    two, b, f, d = data.shape
+    head_dim = d // num_heads
+    x = data.reshape(two, b, f, num_heads, head_dim).astype(jnp.float32)
+    s = scale.transpose(0, 1, 3, 2)[..., None]        # (2, B, F, H, 1)
+    return (x * s).astype(jnp.bfloat16).reshape(two, b, f, d)
+
+
 def make_attention_bias(keep_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(B, L) keep-mask (1 = attend) -> (B, 1, 1, L) additive bias."""
     return jnp.where(keep_mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(dtype)
@@ -193,14 +220,35 @@ class MultiHeadAttention(nn.Module):
         batch, beams, _ = x.shape
         head_dim = self.d_model // self.num_heads
         q_flat, k_new, v_new = self._qkv(x)              # (B, K, D) each
-        new_rows = jnp.stack([k_new, v_new])             # (2, B, K, D)
-        # Time-l rows live at flat offset l*K .. l*K+K-1: one contiguous
-        # (K, D) block per batch row per step.
-        cache_kv = jax.lax.dynamic_update_slice(
-            cache_kv, new_rows.astype(cache_kv.dtype),
-            (0, 0, position * beams, 0),
-        )
-        length = cache_kv.shape[2] // beams
+
+        # int8-quantized cache: {"data": (2, B, L*K, D) int8,
+        # "scale": (2, B, H, L*K) fp32} (see ModelConfig.kv_cache_dtype).
+        quantized = isinstance(cache_kv, dict)
+        scales = None
+        if quantized:
+            k_q, k_s = quantize_kv_heads(k_new, self.num_heads)
+            v_q, v_s = quantize_kv_heads(v_new, self.num_heads)
+            data = jax.lax.dynamic_update_slice(
+                cache_kv["data"], jnp.stack([k_q, v_q]),
+                (0, 0, position * beams, 0),
+            )
+            scales = jax.lax.dynamic_update_slice(
+                cache_kv["scale"],
+                jnp.stack([k_s, v_s]).transpose(0, 1, 3, 2),  # (2, B, H, K)
+                (0, 0, 0, position * beams),
+            )
+            cache_kv = {"data": data, "scale": scales}
+            kv_store = data
+        else:
+            new_rows = jnp.stack([k_new, v_new])         # (2, B, K, D)
+            # Time-l rows live at flat offset l*K .. l*K+K-1: one contiguous
+            # (K, D) block per batch row per step.
+            cache_kv = jax.lax.dynamic_update_slice(
+                cache_kv, new_rows.astype(cache_kv.dtype),
+                (0, 0, position * beams, 0),
+            )
+            kv_store = cache_kv
+        length = kv_store.shape[2] // beams
 
         # The fused kernel pays off when the slot axis is real; greedy
         # (beams == 1) has no selection problem and the XLA path is already
@@ -220,17 +268,24 @@ class MultiHeadAttention(nn.Module):
             from .beam_attention import beam_select_attention
 
             out = beam_select_attention(
-                q_flat.astype(cache_kv.dtype), cache_kv, ancestry, position,
-                self.num_heads,
+                q_flat.astype(jnp.bfloat16), kv_store, ancestry, position,
+                self.num_heads, scales=scales,
             ).astype(x.dtype)
             return self.out_proj(out), cache_kv
+
+        if quantized:
+            # XLA fallback (CPU tests / ineligible shapes): dequantize and
+            # run the bf16 formulation below.
+            kv_store = dequantize_kv(
+                kv_store, scales, self.num_heads
+            )
 
         q = q_flat.reshape(batch, beams, self.num_heads, head_dim)
         anc_onehot = (
             ancestry[:, :, :, None]
             == jnp.arange(beams)[None, None, None, :]
         ).astype(jnp.float32)                            # (B, K, L, K')
-        kv = cache_kv.reshape(
+        kv = kv_store.reshape(
             2, batch, length, beams, self.num_heads, head_dim
         )
 

@@ -62,8 +62,45 @@ def _rows_per_program(batch: int, row_bytes: int) -> int:
 def _kernel(pos_ref, q_ref, onehot_ref, cache_ref, out_ref, *,
             num_heads: int, slots: int):
     """G batch rows: fused select-attention over all beam slots."""
+    _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, None, out_ref,
+                 num_heads=num_heads, slots=slots)
+
+
+def _kernel_q8(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
+               num_heads: int, slots: int):
+    """int8-cache variant: cache_ref int8, scale_ref (2, G, H, L*K') fp32."""
+    _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref,
+                 num_heads=num_heads, slots=slots)
+
+
+def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
+                 num_heads: int, slots: int):
+    """Block-diagonal head packing.
+
+    The per-head formulation (one (K, Dh) x (Dh, L*K') matmul per head) pads
+    M = K = 10 rows into 128-row MXU tiles (~8% utilization) and repeats the
+    select/spread matmuls once per head — measured on v5e the kernel was
+    MXU-bound, not HBM-bound (int8 halved the bytes and saved nothing).
+    Instead all (beam, head) pairs are stacked into M = K*H rows:
+
+      * q_bd (G, K*H, D): row n*H+h holds q's head-h slice, zeros elsewhere.
+        Contracting the FULL D against the cache computes every head in ONE
+        matmul — the zero blocks kill cross-head terms exactly, and the 2x
+        redundant FLOPs cost ~3x fewer MXU tiles than the padded per-head
+        form (M 80 vs 8x10, plus D-dim tiling amortized).
+      * select/spread ((.., L*K') @ (L*K', L) and transpose) run ONCE over
+        the stacked rows instead of once per head — 8x fewer tiles.
+      * probs.V likewise contracts the stacked (G, K*H, L*K') against the
+        full (L*K', D) value block; row n*H+h's head-h output slice is
+        extracted with the same block-diagonal mask (a cheap VPU reduce).
+
+    int8 cache: the block is converted to bf16 in ONE aligned full-width
+    pass (no 64-offset int8 slicing), and the per-(slot, head) dequant
+    scales — constant across each contracted head block — are applied to
+    the small stacked qk / pw tensors instead of the cache.
+    """
     pos = pos_ref[0]
-    k_t = cache_ref[0]                        # (G, L*K', D) bf16
+    k_t = cache_ref[0]                        # (G, L*K', D) bf16 | int8
     v_t = cache_ref[1]
     q = q_ref[...]                            # (G, K, D)
     onehot = onehot_ref[...]                  # (G, K, L*K') bf16
@@ -72,6 +109,7 @@ def _kernel(pos_ref, q_ref, onehot_ref, cache_ref, out_ref, *,
     beams = q.shape[1]
     length = flat // slots
     head_dim = d_model // num_heads
+    kh = beams * num_heads
     scale = head_dim ** -0.5
 
     # Constant time-grouping matrix: S[f, l] = 1 iff f // K' == l.
@@ -79,11 +117,15 @@ def _kernel(pos_ref, q_ref, onehot_ref, cache_ref, out_ref, *,
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (flat, length), 1)
     group = (f_iota // slots) == l_iota                      # (L*K', L)
 
-    # Valid positions: l <= pos (broadcast over rows/beams).
-    l_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, beams, length), 2)
+    # Block-diagonal head mask: (H, D), mask[h, c] = 1 iff c // Dh == h.
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 1)
+    head_mask = (c_iota // head_dim) == h_iota
+
+    # Valid positions: l <= pos (broadcast over rows/beams/heads).
+    l_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, kh, length), 2)
     valid = l_pos <= pos
 
-    onehot_f32 = onehot.astype(jnp.float32)
     group_f32 = group.astype(jnp.float32)
     group_bf16 = group.astype(jnp.bfloat16)
 
@@ -93,33 +135,75 @@ def _kernel(pos_ref, q_ref, onehot_ref, cache_ref, out_ref, *,
         return jax.lax.dot_general(lhs, rhs, dims,
                                    preferred_element_type=jnp.float32)
 
-    head_outs = []
-    for h in range(num_heads):
-        lo = h * head_dim
-        q_h = (q[:, :, lo:lo + head_dim] * scale).astype(jnp.bfloat16)
-        k_h = k_t[:, :, lo:lo + head_dim]
-        qk = bdot(q_h, k_h, 2, 2, batched=True)              # (G, K, L*K')
-        # select ancestors, reduce per timestep: (G, K, L*K') @ (L*K', L)
-        logits = bdot(qk * onehot_f32, group_f32, 2, 0, batched=False)
-        logits = jnp.where(valid, logits, NEG_INF)           # (G, K, L)
-        row_max = jnp.max(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(logits - row_max)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        # spread per-timestep probs back over slots: (G, K, L) @ (L*K', L)^T
-        pw = bdot(probs.astype(jnp.bfloat16), group_bf16, 2, 1,
-                  batched=False).astype(jnp.bfloat16) * onehot
-        v_h = v_t[:, :, lo:lo + head_dim]
-        o_h = bdot(pw, v_h, 2, 1, batched=True)              # (G, K, Dh)
-        head_outs.append(o_h)
-    out_ref[...] = jnp.concatenate(head_outs, axis=-1).astype(out_ref.dtype)
+    # Stack (beam, head) into M: row n*H + h. The (K, H) <-> K*H sublane
+    # reshapes below are free (H = native sublane-tile granularity), but
+    # reshapes whose LANE dim is the flat slot axis are only supported when
+    # flat % 128 == 0 — short decode stages (e.g. 32*10 = 320) break that,
+    # so every flat-lane expansion runs as a tiny constant-matrix matmul
+    # instead (beam-replication rep / head-replication sel, ~10 MXU tiles).
+    m_iota_k = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 0)
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 1)
+    rep = ((m_iota_k // num_heads) == n_iota)                # (K*H, K)
+    rep_b = jnp.broadcast_to(
+        rep.astype(jnp.bfloat16)[None], (rows, kh, beams)
+    )
+
+    q_bd = (
+        (q * scale).astype(jnp.bfloat16)[:, :, None, :]
+        * head_mask[None, None].astype(jnp.bfloat16)
+    ).reshape(rows, kh, d_model)                             # (G, K*H, D)
+    # onehot_kh[g, n*H+h, f] = onehot[g, n, f] for every h.
+    onehot_kh_f32 = bdot(rep_b, onehot, 2, 1, batched=True)  # (G, K*H, L*K')
+    onehot_kh = onehot_kh_f32.astype(jnp.bfloat16)
+
+    if scale_ref is not None:
+        # Head-replication: s_rep[g, n*H+h, f] = s[g, h, f] for every n.
+        m_iota_h = jax.lax.broadcasted_iota(jnp.int32, (kh, num_heads), 0)
+        h_iota2 = jax.lax.broadcasted_iota(jnp.int32, (kh, num_heads), 1)
+        sel = ((m_iota_h % num_heads) == h_iota2)            # (K*H, H)
+        sel_b = jnp.broadcast_to(
+            sel.astype(jnp.float32)[None], (rows, kh, num_heads)
+        )
+
+    k_bf = k_t.astype(jnp.bfloat16)
+    qk = bdot(q_bd, k_bf, 2, 2, batched=True)                # (G, K*H, L*K')
+    if scale_ref is not None:
+        # k dequant scale s_k (G, H, L*K'): same for every beam row.
+        qk = qk * bdot(sel_b, scale_ref[0], 2, 1, batched=True)
+
+    # Ancestor select + per-timestep reduce, all heads at once.
+    logits = bdot(qk * onehot_kh_f32, group_f32, 2, 0, batched=False)
+    logits = jnp.where(valid, logits, NEG_INF)               # (G, K*H, L)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - row_max)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    # Spread per-timestep probs back over slots, all heads at once.
+    pw = bdot(probs.astype(jnp.bfloat16), group_bf16, 2, 1, batched=False)
+    if scale_ref is not None:
+        # Fold the v dequant scale of head h into row (n, h): only that
+        # row's head-h output slice is kept, so scaling the whole row by
+        # s_v[h] dequantizes exactly the slice that survives.
+        pw = pw * bdot(sel_b, scale_ref[1], 2, 1, batched=True)
+    pw = pw.astype(jnp.bfloat16) * onehot_kh
+
+    v_bf = v_t.astype(jnp.bfloat16)
+    out_bd = bdot(pw, v_bf, 2, 1, batched=True)              # (G, K*H, D)
+    out = jnp.sum(
+        out_bd.reshape(rows, beams, num_heads, d_model)
+        * head_mask[None, None].astype(jnp.float32),
+        axis=2,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def beam_select_attention(
     q: jnp.ndarray,          # (B, K, D)
-    cache: jnp.ndarray,      # (2, L, B, K, D), rows for `position` present
+    cache: jnp.ndarray,      # (2, B, L*K, D), rows for `position` present
     ancestry: jnp.ndarray,   # (B, K, L) int32
     position,                # scalar int32 step index
     num_heads: int,
+    scales: jnp.ndarray = None,  # (2, B, H, L*K) fp32 when cache is int8
 ) -> jnp.ndarray:
     """Returns (B, K, D) fused beam attention output (pre out_proj)."""
     two, batch, flat_total, d_model = cache.shape
@@ -129,6 +213,8 @@ def beam_select_attention(
 
     flat = length * beams
     row_bytes = 2 * flat * d_model * cache.dtype.itemsize
+    if scales is not None:
+        row_bytes += 2 * num_heads * flat * scales.dtype.itemsize
     rows = _rows_per_program(batch, row_bytes)
 
     # Flattened ancestry one-hot, built in XLA (cheap; CSE'd across layers).
@@ -136,25 +222,36 @@ def beam_select_attention(
         ancestry[:, :, :, None] == jnp.arange(beams)[None, None, None, :]
     ).astype(jnp.bfloat16).reshape(batch, beams, length * beams)
 
+    in_specs = [
+        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows, beams, length * beams),
+                     lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((2, rows, length * beams, d_model),
+                     lambda i, pos: (0, i, 0, 0)),
+    ]
+    operands = [pos, q, onehot, cache]
+    kernel = _kernel
+    if scales is not None:
+        in_specs.append(
+            pl.BlockSpec((2, rows, num_heads, length * beams),
+                         lambda i, pos: (0, i, 0, 0))
+        )
+        operands.append(scales)
+        kernel = _kernel_q8
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch // rows,),
-        in_specs=[
-            pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
-            pl.BlockSpec((rows, beams, length * beams),
-                         lambda i, pos: (i, 0, 0)),
-            pl.BlockSpec((2, rows, length * beams, d_model),
-                         lambda i, pos: (0, i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, beams, d_model),
                                lambda i, pos: (i, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, slots=beams),
+        functools.partial(kernel, num_heads=num_heads, slots=beams),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, beams, d_model), q.dtype),
         # Double-buffered cache blocks plus kernel temporaries exceed the
         # default 16M scoped-vmem limit.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
-    )(pos, q, onehot, cache)
+    )(*operands)

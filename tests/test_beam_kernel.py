@@ -48,25 +48,131 @@ def test_kernel_matches_xla_path():
         assert err < 2e-2, f"pos {position}: max err {err}"
 
 
-def test_kernel_in_full_beam_search():
-    """End-to-end beam search must be identical with the kernel forced on
-    (interpret) and off."""
+def _quantize_cache(cache, num_heads):
+    """Reference int8 per-(slot, head) quantization of a bf16 cache."""
+    from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
+
+    data, scales = quantize_kv_heads(cache, num_heads)   # (2,B,F,D),(2,B,F,H)
+    return data, scales.transpose(0, 1, 3, 2)            # scale (2,B,H,F)
+
+
+def test_kernel_matches_xla_path_int8():
+    """int8-cache kernel vs dequantize-then-XLA reference."""
+    from multimodalanalytical_tpu.ops.attention import dequantize_kv
+
+    key = jax.random.PRNGKey(1)
+    kq, kc, ka = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, K, D), jnp.bfloat16)
+    cache = jax.random.normal(kc, (2, B, L * K, D), jnp.bfloat16)
+    ancestry = jax.random.randint(ka, (B, K, L), 0, K)
+
+    data, scale = _quantize_cache(cache, H)
+    deq = dequantize_kv(data, scale, H)
+
+    for position in (0, 5, L - 1):
+        want = np.asarray(_xla_reference(q, deq, ancestry, position),
+                          np.float32)
+        got = np.asarray(
+            beam_select_attention(q, data, ancestry, position, H,
+                                  scales=scale),
+            np.float32,
+        )
+        err = np.abs(want - got).max()
+        assert err < 2e-2, f"pos {position}: max err {err}"
+
+
+def test_quantize_roundtrip_error_bound():
+    """x ≈ dequant(quant(x)) within the per-head int8 step size."""
+    from multimodalanalytical_tpu.ops.attention import (
+        dequantize_kv, quantize_kv_heads,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8, D), jnp.float32)
+    data, scales = quantize_kv_heads(x, H)
+    deq = np.asarray(
+        dequantize_kv(data, scales.transpose(0, 1, 3, 2), H), np.float32
+    )
+    x_np = np.asarray(x)
+    # Error per element <= scale/2 (int8 rounding) + bf16 rounding of the
+    # dequantized value; scale = absmax/127 per head block.
+    step = np.repeat(np.asarray(scales), D // H, axis=-1)
+    bound = step * 0.51 + np.abs(x_np) * 2.0 ** -8 + 1e-6
+    assert (np.abs(deq - x_np) <= bound).all()
+
+
+def _sharpen_lm_head(variables, factor=8.0):
+    """Scale the lm_head so random-init logits are well separated — beam
+    choices then survive sub-percent numerical perturbations (int8 quant)."""
+    params = jax.tree_util.tree_map(lambda x: x, dict(variables["params"]))
+    params["lm_head"] = dict(params["lm_head"])
+    params["lm_head"]["kernel"] = params["lm_head"]["kernel"] * factor
+    return {"params": params}
+
+
+def test_int8_beam_search_matches_bf16():
+    """End-to-end beam search with the int8 cache (XLA dequant fallback on
+    CPU) must produce the same sequences as the bf16 cache on shapes that
+    pass the eligibility gate (d_model 512 -> head_dim 64, beams 4)."""
+    import dataclasses
+
     from __graft_entry__ import _example_batch, _flagship
     from multimodalanalytical_tpu.generation.beam_search import beam_search
-    from multimodalanalytical_tpu.ops import attention as attn_mod
-    from multimodalanalytical_tpu.ops import beam_attention as bk_mod
 
-    model = _flagship(d_model=32, layers=2, ffn=64, vocab=16)
+    model = _flagship(d_model=512, layers=1, ffn=128, vocab=16)
     batch = _example_batch(batch=2, target_len=8, vocab=16)
     variables = model.init(
         jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
         batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
         deterministic=True,
     )
+    variables = _sharpen_lm_head(variables)
+
+    seqs_bf, scores_bf = beam_search(
+        model, variables, batch["encoder_inputs"],
+        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
+    )
+
+    q_model = dataclasses.replace(model, config=dataclasses.replace(
+        model.config, kv_cache_dtype="int8"))
+    # Confirm the eligibility gate actually engages for these shapes.
+    cache = q_model.apply(
+        variables, 2, 4, 16, jnp.zeros((2, 26, 512), jnp.float32), True,
+        method=type(q_model).init_beam_cache,
+    )
+    assert cache["self"][0]["data"].dtype == jnp.int8
+
+    seqs_q, scores_q = beam_search(
+        q_model, variables, batch["encoder_inputs"],
+        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
+    )
+
+    assert (np.asarray(seqs_bf) == np.asarray(seqs_q)).all()
+    np.testing.assert_allclose(
+        np.asarray(scores_bf), np.asarray(scores_q), rtol=0.05, atol=0.05
+    )
+
+
+def test_kernel_in_full_beam_search():
+    """End-to-end beam search must be identical with the kernel forced on
+    (interpret) and off. Shapes chosen to pass the kernel gate
+    (d_model % 128 == 0, head_dim % 64 == 0, beams >= 4)."""
+    from __graft_entry__ import _example_batch, _flagship
+    from multimodalanalytical_tpu.generation.beam_search import beam_search
+    from multimodalanalytical_tpu.ops import attention as attn_mod
+    from multimodalanalytical_tpu.ops import beam_attention as bk_mod
+
+    model = _flagship(d_model=512, layers=1, ffn=128, vocab=16)
+    batch = _example_batch(batch=2, target_len=8, vocab=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
+        batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+        deterministic=True,
+    )
+    variables = _sharpen_lm_head(variables)
 
     seqs_xla, scores_xla = beam_search(
         model, variables, batch["encoder_inputs"],
-        jnp.asarray(batch["encoder_mask"]), num_beams=3, max_length=10,
+        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
     )
 
     # Force the kernel path on CPU (interpret mode).
@@ -76,7 +182,7 @@ def test_kernel_in_full_beam_search():
         bk_mod._interpret = lambda: True
         seqs_k, scores_k = beam_search(
             model, variables, batch["encoder_inputs"],
-            jnp.asarray(batch["encoder_mask"]), num_beams=3, max_length=10,
+            jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
         )
     finally:
         jax.default_backend = orig
