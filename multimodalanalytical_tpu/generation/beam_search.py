@@ -38,6 +38,7 @@ passed per call without recompiling the graph.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -77,24 +78,29 @@ def beam_search(
     batch = encoder_mask.shape[0]
     bos, eos, pad = cfg.decoder_start_token_id, cfg.eos_token_id, cfg.pad_token_id
 
-    if stage_size is None or stage_size >= max_length:
-        bounds = [max_length]
-    else:
-        bounds = list(range(stage_size, max_length, stage_size)) + [max_length]
-
-    # int8 KV cache (ModelConfig.kv_cache_dtype): only when every stage
-    # shape satisfies the fused kernel's gate (ops/attention.py kernel_ok) —
-    # the XLA fallback would otherwise dequantize the whole cache per step.
+    # int8 KV cache (ModelConfig.kv_cache_dtype): only when the kernel can
+    # engage (ops/attention.py kernel_ok) — the XLA fallback would otherwise
+    # dequantize the whole cache per step. The kernel's data-append window
+    # needs every stage's flat slot axis to be a 64 multiple (stage sizes
+    # are rounded up to suit below; the scale buffer pads itself to 128).
     head_dim = cfg.d_model // cfg.decoder_attention_heads
     quantize = (
         getattr(cfg, "kv_cache_dtype", "bfloat16") == "int8"
         and num_beams >= 4
         and cfg.d_model % 128 == 0
         and head_dim % 64 == 0
-        and all((b * num_beams) % 64 == 0 for b in bounds)
+        and (max_length * num_beams) % 64 == 0
         and not cfg.relative_position_bias
         and getattr(cfg, "use_beam_kernel", True)
     )
+
+    if stage_size is None or stage_size >= max_length:
+        bounds = [max_length]
+    else:
+        if quantize:
+            req = 64 // math.gcd(num_beams, 64)
+            stage_size = ((stage_size + req - 1) // req) * req
+        bounds = list(range(stage_size, max_length, stage_size)) + [max_length]
 
     # Encode once; K/V stay at batch size (beam-invariant).
     encoder_hidden = model.apply(
@@ -226,12 +232,17 @@ def beam_search(
 
             def _grow(s):
                 if isinstance(s, dict):
-                    delta = stage_bound * num_beams - s["data"].shape[2]
+                    flat_new = stage_bound * num_beams
+                    delta = flat_new - s["data"].shape[2]
+                    sdelta = (
+                        (flat_new + 127) // 128 * 128 - s["scale"].shape[3]
+                    )
                     return {
                         "data": jnp.pad(
                             s["data"], ((0, 0), (0, 0), (0, delta), (0, 0))),
                         "scale": jnp.pad(
-                            s["scale"], ((0, 0), (0, 0), (0, 0), (0, delta))),
+                            s["scale"],
+                            ((0, 0), (0, 0), (0, 0), (0, sdelta))),
                     }
                 delta = stage_bound * num_beams - s.shape[2]
                 return jnp.pad(s, ((0, 0), (0, 0), (0, delta), (0, 0)))

@@ -150,17 +150,23 @@ class Seq2SeqModel(nn.Module):
         (the round-1 design tiled them x K).
         """
         cfg = self.config
-        cross = self.decoder.project_cross_kv(encoder_hidden)
+        # Flat (B, Ls, D) cross K/V: consumed by the fused beam cross
+        # kernel (and the flat-aware XLA fallback) without head-splitting.
+        cross = self.decoder.project_cross_kv(encoder_hidden, flat=True)
         flat = max_length * num_beams
         if quantize:
             # int8 storage + per-(slot, head) fp32 dequant scales — halves
             # the dominant decode HBM traffic (see ops/beam_attention.py).
+            # The scale flat axis is padded to a 128 multiple so the
+            # kernel's lane-aligned scale-append window always fits; the
+            # pad lanes are never read.
             heads = cfg.decoder_attention_heads
+            flat_pad = (flat + 127) // 128 * 128
             selves: list = [
                 {
                     "data": jnp.zeros((2, batch_size, flat, cfg.d_model),
                                       dtype=jnp.int8),
-                    "scale": jnp.zeros((2, batch_size, heads, flat),
+                    "scale": jnp.zeros((2, batch_size, heads, flat_pad),
                                        dtype=jnp.float32),
                 }
                 for _ in range(cfg.decoder_layers)

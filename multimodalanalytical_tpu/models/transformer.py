@@ -126,7 +126,10 @@ class DecoderLayer(nn.Module):
         self.norm3 = _norm("norm3", self.norm_type)
         self.residual_dropout = nn.Dropout(self.dropout)
 
-    def project_cross_kv(self, encoder_hidden: jnp.ndarray):
+    def project_cross_kv(self, encoder_hidden: jnp.ndarray, flat: bool = False):
+        if flat:
+            # Beam decode: flat (B, Ls, D) for the fused cross kernel.
+            return self.cross_attn.project_kv_flat(encoder_hidden)
         return self.cross_attn.project_kv(encoder_hidden)
 
     def decode_step(
@@ -311,9 +314,12 @@ class Decoder(nn.Module):
                 self.num_heads, bidirectional=False, name="rel_bias",
             )
 
-    def project_cross_kv(self, encoder_hidden: jnp.ndarray):
+    def project_cross_kv(self, encoder_hidden: jnp.ndarray, flat: bool = False):
         """Precompute per-layer cross-attention K/V from encoder output."""
-        return [layer.project_cross_kv(encoder_hidden) for layer in self.layers]
+        return [
+            layer.project_cross_kv(encoder_hidden, flat=flat)
+            for layer in self.layers
+        ]
 
     def decode_step(self, x, self_caches, cross_kvs, cross_bias, position):
         """Single-token cached decode through the stack.

@@ -142,6 +142,16 @@ class MultiHeadAttention(nn.Module):
         k, v = jnp.split(self.kv_proj(kv_input), 2, axis=-1)
         return self._split(k), self._split(v)
 
+    def project_kv_flat(self, kv_input: jnp.ndarray):
+        """Encoder K/V kept FLAT (B, Ls, D) — no head split.
+
+        The fused beam cross-attention kernel contracts the full channel
+        axis with block-diagonal head masking (ops/beam_attention.py
+        _cross_kernel), so channel c of q meets channel c of k directly and
+        the head-split transpose never has to exist."""
+        k, v = jnp.split(self.kv_proj(kv_input), 2, axis=-1)
+        return k, v
+
     def decode_self_attention(
         self,
         x: jnp.ndarray,               # (B, 1, D) current-token hidden
@@ -224,6 +234,43 @@ class MultiHeadAttention(nn.Module):
         # int8-quantized cache: {"data": (2, B, L*K, D) int8,
         # "scale": (2, B, H, L*K) fp32} (see ModelConfig.kv_cache_dtype).
         quantized = isinstance(cache_kv, dict)
+        probe = cache_kv["data"] if quantized else cache_kv
+        length = probe.shape[2] // beams
+
+        # The fused kernel pays off when the slot axis is real; greedy
+        # (beams == 1) has no selection problem and the XLA path is already
+        # near the traffic floor there. Relative-bias models (T5 preset)
+        # take the XLA path — the kernel targets the flagship CustomModel.
+        # Shape gate: Mosaic needs lane-aligned minors (d_model % 128) and
+        # a lane-sized flat slot axis; tiny test models fall back to XLA.
+        kernel_ok = (
+            beams >= 4
+            and self.d_model % 128 == 0
+            and head_dim % 64 == 0
+            and (length * beams) % 64 == 0
+        )
+        if (beams > 1 and kernel_ok and extra_bias is None
+                and self.use_beam_kernel
+                and jax.default_backend() != "cpu"):
+            # Fused attention + cache append (+ quantize): the kernel owns
+            # the whole cache round-trip — no XLA dynamic_update_slice, no
+            # separate quantize pass (see beam_attention._kernel_impl).
+            from .beam_attention import beam_select_attention_update
+
+            if quantized:
+                out, data, scale = beam_select_attention_update(
+                    q_flat.astype(jnp.bfloat16), k_new, v_new,
+                    cache_kv["data"], ancestry, position, self.num_heads,
+                    scales=cache_kv["scale"],
+                )
+                out = out.astype(x.dtype)
+                return self.out_proj(out), {"data": data, "scale": scale}
+            out, data, _ = beam_select_attention_update(
+                q_flat.astype(jnp.bfloat16), k_new, v_new, cache_kv,
+                ancestry, position, self.num_heads,
+            )
+            return self.out_proj(out.astype(x.dtype)), data
+
         scales = None
         if quantized:
             k_q, k_s = quantize_kv_heads(k_new, self.num_heads)
@@ -248,36 +295,13 @@ class MultiHeadAttention(nn.Module):
                 (0, 0, position * beams, 0),
             )
             kv_store = cache_kv
-        length = kv_store.shape[2] // beams
-
-        # The fused kernel pays off when the slot axis is real; greedy
-        # (beams == 1) has no selection problem and the XLA path is already
-        # near the traffic floor there. Relative-bias models (T5 preset)
-        # take the XLA path — the kernel targets the flagship CustomModel.
-        # Shape gate: Mosaic needs lane-aligned minors (d_model % 128) and
-        # a lane-sized flat slot axis; tiny test models fall back to XLA.
-        kernel_ok = (
-            beams >= 4
-            and self.d_model % 128 == 0
-            and head_dim % 64 == 0
-            and (length * beams) % 64 == 0
-        )
-        if (beams > 1 and kernel_ok and extra_bias is None
-                and self.use_beam_kernel
-                and jax.default_backend() != "cpu"):
-            from .beam_attention import beam_select_attention
-
-            out = beam_select_attention(
-                q_flat.astype(jnp.bfloat16), kv_store, ancestry, position,
-                self.num_heads, scales=scales,
-            ).astype(x.dtype)
-            return self.out_proj(out), cache_kv
 
         if quantized:
             # XLA fallback (CPU tests / ineligible shapes): dequantize and
             # run the bf16 formulation below.
             kv_store = dequantize_kv(
-                kv_store, scales, self.num_heads
+                # The scale flat axis may carry 128-alignment padding.
+                kv_store, scales[..., : kv_store.shape[2]], self.num_heads
             )
 
         q = q_flat.reshape(batch, beams, self.num_heads, head_dim)
@@ -318,20 +342,45 @@ class MultiHeadAttention(nn.Module):
     def beam_decode_cross_attention(
         self,
         x: jnp.ndarray,                          # (B, K, D)
-        kv: Tuple[jnp.ndarray, jnp.ndarray],     # UN-tiled (B, H, Ls, Dh)
+        kv: Tuple[jnp.ndarray, jnp.ndarray],     # UN-tiled FLAT (B, Ls, D)
         bias: Optional[jnp.ndarray],             # (B, 1, 1, Ls)
     ) -> jnp.ndarray:
         """Beam cross-attention against batch-sized (beam-invariant) K/V.
 
         The encoder K/V never differ across beams; keeping them at batch
-        size instead of tiling x K cuts cross-attention cache traffic K-fold.
+        size instead of tiling x K cuts cross-attention cache traffic
+        K-fold. K/V arrive FLAT (project_kv_flat) for the fused kernel;
+        the XLA fallback re-splits heads (the (B, K, H, Ls) einsum/softmax
+        shapes lower to ~2.5%-occupancy tiles on TPU — 186 us/layer/step
+        measured on v5e — which is exactly why the kernel path exists).
         """
         batch, beams, _ = x.shape
         head_dim = self.d_model // self.num_heads
-        q = self.q_proj(x).reshape(batch, beams, self.num_heads, head_dim)
+        q_flat = self.q_proj(x)                  # (B, K, D)
+
+        kernel_ok = self.d_model % 128 == 0 and head_dim % 64 == 0
+        if (kernel_ok and self.use_beam_kernel
+                and jax.default_backend() != "cpu"):
+            from .beam_attention import beam_cross_attention
+
+            if bias is None:
+                bias2d = jnp.zeros(
+                    (batch, kv[0].shape[1]), dtype=jnp.float32)
+            else:
+                bias2d = bias[:, 0, 0, :].astype(jnp.float32)
+            out = beam_cross_attention(
+                q_flat.astype(kv[0].dtype), kv[0], kv[1], bias2d,
+                self.num_heads,
+            ).astype(x.dtype)
+            return self.out_proj(out)
+
+        q = q_flat.reshape(batch, beams, self.num_heads, head_dim)
+        ls = kv[0].shape[1]
+        k = kv[0].reshape(batch, ls, self.num_heads, head_dim)
+        v = kv[1].reshape(batch, ls, self.num_heads, head_dim)
         scale = head_dim ** -0.5
         logits = jnp.einsum(
-            "bkhd,bhld->bkhl", (q * scale).astype(kv[0].dtype), kv[0],
+            "bkhd,blhd->bkhl", (q * scale).astype(k.dtype), k,
             preferred_element_type=jnp.float32,
         )
         if bias is not None:
@@ -339,7 +388,7 @@ class MultiHeadAttention(nn.Module):
             logits = logits + bias
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
-            "bkhl,bhld->bkhd", probs.astype(kv[1].dtype), kv[1],
+            "bkhl,blhd->bkhd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         return self.out_proj(out.reshape(batch, beams, self.d_model))

@@ -73,8 +73,33 @@ def _kernel_q8(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
                  num_heads=num_heads, slots=slots)
 
 
+def _kernel_upd(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
+                out_ref, cache_out_ref, stage_ref, sem, *,
+                num_heads: int, slots: int):
+    """Fused attention + cache append (bf16 cache)."""
+    _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, None, out_ref,
+                 num_heads=num_heads, slots=slots,
+                 kn_ref=kn_ref, vn_ref=vn_ref,
+                 cache_out_ref=cache_out_ref, stage_ref=stage_ref, sem=sem)
+
+
+def _kernel_upd_q8(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
+                   scale_ref, out_ref, cache_out_ref, scale_out_ref,
+                   stage_ref, sem, sstage_ref, ssem, *,
+                   num_heads: int, slots: int):
+    """Fused attention + quantize + cache append (int8 cache)."""
+    _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref,
+                 num_heads=num_heads, slots=slots,
+                 kn_ref=kn_ref, vn_ref=vn_ref,
+                 cache_out_ref=cache_out_ref, scale_out_ref=scale_out_ref,
+                 stage_ref=stage_ref, sem=sem,
+                 sstage_ref=sstage_ref, ssem=ssem)
+
+
 def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
-                 num_heads: int, slots: int):
+                 num_heads: int, slots: int, kn_ref=None, vn_ref=None,
+                 cache_out_ref=None, scale_out_ref=None,
+                 stage_ref=None, sem=None, sstage_ref=None, ssem=None):
     """Block-diagonal head packing.
 
     The per-head formulation (one (K, Dh) x (Dh, L*K') matmul per head) pads
@@ -98,8 +123,21 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     pass (no 64-offset int8 slicing), and the per-(slot, head) dequant
     scales — constant across each contracted head block — are applied to
     the small stacked qk / pw tensors instead of the cache.
+
+    Update mode (kn_ref/vn_ref/cache_out_ref given): the kernel ALSO appends
+    this step's K/V rows to the cache via an aliased output block at the
+    position-dependent offset — the separate XLA dynamic_update_slice was a
+    10-row scatter across every batch row, a partial-tile RMW measured at
+    63 us per layer per step on v5e (plus ~0.4 ms/step of quantize fusions,
+    now folded in here). The cache block then holds STALE rows at `pos`, so
+    cache logits are masked to l < pos and the l == pos term is computed
+    directly from the fresh rows (each beam attends its own slot at write
+    time by construction — ancestry[:, :, t] = arange). For the int8 cache
+    the fresh-row term uses quantize-dequantized values so results are
+    IDENTICAL to the store-then-read path.
     """
     pos = pos_ref[0]
+    update = kn_ref is not None
     k_t = cache_ref[0]                        # (G, L*K', D) bf16 | int8
     v_t = cache_ref[1]
     q = q_ref[...]                            # (G, K, D)
@@ -122,9 +160,11 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 1)
     head_mask = (c_iota // head_dim) == h_iota
 
-    # Valid positions: l <= pos (broadcast over rows/beams/heads).
+    # Valid positions from the CACHE: l <= pos (l < pos in update mode —
+    # the pos rows in the block are stale; the fresh-row term is added
+    # separately below).
     l_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, kh, length), 2)
-    valid = l_pos <= pos
+    valid = (l_pos < pos) if update else (l_pos <= pos)
 
     group_f32 = group.astype(jnp.float32)
     group_bf16 = group.astype(jnp.bfloat16)
@@ -152,9 +192,170 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         (q * scale).astype(jnp.bfloat16)[:, :, None, :]
         * head_mask[None, None].astype(jnp.bfloat16)
     ).reshape(rows, kh, d_model)                             # (G, K*H, D)
-    # onehot_kh[g, n*H+h, f] = onehot[g, n, f] for every h.
+    # onehot_kh[g, n*H+h, f] = onehot[g, n, f] for every h. In update mode
+    # mask out flat columns at l >= pos once here — qk select and pw spread
+    # must both ignore the stale pos rows (logits are where-masked anyway).
     onehot_kh_f32 = bdot(rep_b, onehot, 2, 1, batched=True)  # (G, K*H, L*K')
+    if update:
+        f_lt = (
+            jax.lax.broadcasted_iota(jnp.int32, (kh, flat), 1) // slots < pos
+        )
+        onehot_kh_f32 = onehot_kh_f32 * f_lt[None].astype(jnp.float32)
     onehot_kh = onehot_kh_f32.astype(jnp.bfloat16)
+
+    # ---- fresh-row (l == pos) term + cache append --------------------
+    # The append rides a manual DMA into the ANY-space aliased cache ref.
+    # HBM memref slices must be tile-aligned on tiled axes, so a raw
+    # (K'=10)-row write at flat offset pos*K' is inexpressible; instead the
+    # fresh rows are spliced (tiny permutation matmul + select — in-VMEM
+    # dynamic_update_slice is unsupported) into a 32-aligned 64-row WINDOW
+    # of the already-loaded cache block, and the window is DMA'd back. The
+    # copy overlaps the attention matmuls below; waits land at the end.
+    self_k = self_v = None
+    pending_copies = []
+    if update:
+        i_prog = pl.program_id(0)
+        k_new = kn_ref[...]                                  # (G, K, D)
+        v_new = vn_ref[...]
+        w0 = pl.multiple_of(
+            jnp.minimum((pos * slots) // 32 * 32, flat - 64), 32)
+        off = pos * slots - w0                               # in [0, 54]
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (64, slots), 0)
+        n_io = jax.lax.broadcasted_iota(jnp.int32, (64, slots), 1)
+        perm_w = jnp.broadcast_to(
+            (r_io == off + n_io).astype(jnp.float32)[None],
+            (rows, 64, slots),
+        )                                                    # (G, 64, K')
+        rd_io = jax.lax.broadcasted_iota(jnp.int32, (64, d_model), 0)
+        in_win = (rd_io >= off) & (rd_io < off + slots)      # (64, D)
+        # Window extraction as a selector matmul — dynamic-offset sublane
+        # loads from VMEM refs don't lower, constant-matrix matmuls always
+        # do (and cost ~10 MXU tiles).
+        wr_io = jax.lax.broadcasted_iota(jnp.int32, (64, flat), 0)
+        wf_io = jax.lax.broadcasted_iota(jnp.int32, (64, flat), 1)
+        wsel_b = jnp.broadcast_to(
+            (wf_io == w0 + wr_io).astype(jnp.bfloat16)[None],
+            (rows, 64, flat),
+        )                                                    # (G, 64, L*K')
+
+        def _splice(store, new_rows):
+            win_old = bdot(wsel_b, store.astype(jnp.bfloat16), 2, 1,
+                           batched=True)                     # (G, 64, D) f32
+            spread = bdot(perm_w, new_rows.astype(jnp.float32), 2, 1,
+                          batched=True)                      # (G, 64, D)
+            return jnp.where(in_win[None], spread, win_old)
+
+        # n-major (beam-major) replication: row n*H+h = x[n].
+        k_new_rep = bdot(rep_b, k_new.astype(jnp.bfloat16), 2, 1,
+                         batched=True)                       # (G, K*H, D) f32
+        v_new_rep = bdot(rep_b, v_new.astype(jnp.bfloat16), 2, 1,
+                         batched=True)
+        if scale_ref is None:
+            # bf16 storage: the self term reads what will be stored.
+            self_k = k_new_rep.astype(jnp.bfloat16).astype(jnp.float32)
+            self_v = v_new_rep.astype(jnp.bfloat16).astype(jnp.float32)
+            stage_ref[0] = _splice(k_t, k_new).astype(stage_ref.dtype)
+            stage_ref[1] = _splice(v_t, v_new).astype(stage_ref.dtype)
+            copy = pltpu.make_async_copy(
+                stage_ref,
+                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
+                                 pl.ds(w0, 64), :],
+                sem,
+            )
+            copy.start()
+            pending_copies.append(copy)
+        else:
+            # Per-(row, head) symmetric int8 — same formulas as the XLA
+            # quantize_kv_heads (ops/attention.py) so results match the
+            # store-then-read path exactly.
+            c_kh = jax.lax.broadcasted_iota(jnp.int32, (kh, d_model), 1)
+            m_kh = jax.lax.broadcasted_iota(jnp.int32, (kh, d_model), 0)
+            mask_n = (c_kh // head_dim) == (m_kh % num_heads)  # (K*H, D)
+            def _quant(x_rep, x_new):
+                a = jnp.max(jnp.abs(x_rep) * mask_n[None].astype(jnp.float32),
+                            axis=-1)                         # (G, K*H)
+                s_vec = jnp.maximum(a, 1e-8) / 127.0
+                x_qdq = (
+                    jnp.clip(jnp.round(x_rep / s_vec[:, :, None]), -127, 127)
+                    * s_vec[:, :, None]
+                )                                            # (G, K*H, D) f32
+                # Channel-expanded scale for the int8 rows: s_kd[g, n, c] =
+                # s_vec[g, n*H + c // Dh] (tiny constant matmul, no lane
+                # reshape).
+                s_kd = bdot(
+                    s_vec.reshape(rows, beams, num_heads),
+                    head_mask.astype(jnp.float32), 2, 0, batched=False,
+                )                                            # (G, K, D)
+                x_q = jnp.clip(
+                    jnp.round(x_new.astype(jnp.float32) / s_kd), -127, 127
+                ).astype(jnp.int8)
+                return x_qdq, x_q
+            self_k, k_q = _quant(k_new_rep, k_new)
+            self_v, v_q = _quant(v_new_rep, v_new)
+            stage_ref[0] = _splice(k_t, k_q).astype(stage_ref.dtype)
+            stage_ref[1] = _splice(v_t, v_q).astype(stage_ref.dtype)
+            copy = pltpu.make_async_copy(
+                stage_ref,
+                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
+                                 pl.ds(w0, 64), :],
+                sem,
+            )
+            copy.start()
+            pending_copies.append(copy)
+            # h-major scales for the (2, B, H, L*K') storage layout: row
+            # m = h*K'+n of the rep2 stack is x[n] masked to head h, so the
+            # (G, H*K') absmax vector reshapes to (G, H, K') for free (a
+            # (K, H) sublane transpose is NOT free in Mosaic; recomputing
+            # the reduce on the transposed stacking is).
+            m2 = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 0)
+            n2 = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 1)
+            rep2_b = jnp.broadcast_to(
+                (m2 % slots == n2).astype(jnp.bfloat16)[None],
+                (rows, kh, beams),
+            )
+            mask_h = (
+                (c_kh // head_dim) == (m_kh // slots)
+            ).astype(jnp.float32)                            # (H*K', D)
+            # Scale append: f32 lane tiles are 128-wide, so the window is
+            # 128 lanes at a 128-aligned offset (the quantize gate requires
+            # flat % 128 == 0; gate-ineligible small shapes use the whole
+            # flat axis as the window).
+            flat_pad = scale_ref.shape[-1]
+            swin = min(128, flat_pad)
+            sw0 = pl.multiple_of(
+                jnp.minimum((pos * slots) // swin * swin, flat_pad - swin),
+                swin)
+            soff = pos * slots - sw0
+            sc_io = jax.lax.broadcasted_iota(jnp.int32, (slots, swin), 1)
+            sn_io = jax.lax.broadcasted_iota(jnp.int32, (slots, swin), 0)
+            perm_s = (sc_io == soff + sn_io).astype(jnp.float32)
+            hc_io = jax.lax.broadcasted_iota(
+                jnp.int32, (num_heads, swin), 1)
+            s_in_win = (hc_io >= soff) & (hc_io < soff + slots)  # (H, swin)
+            # Lane-window extraction as a selector matmul (same reason as
+            # wsel_b above).
+            sf_io = jax.lax.broadcasted_iota(jnp.int32, (flat_pad, swin), 0)
+            sc2_io = jax.lax.broadcasted_iota(
+                jnp.int32, (flat_pad, swin), 1)
+            wsel_l = (sf_io == sw0 + sc2_io).astype(jnp.float32)
+            for idx, x_new in ((0, k_new), (1, v_new)):
+                x_rep2 = bdot(rep2_b, x_new.astype(jnp.bfloat16), 2, 1,
+                              batched=True)
+                a2 = jnp.max(jnp.abs(x_rep2) * mask_h[None], axis=-1)
+                s_hk = (
+                    jnp.maximum(a2, 1e-8) / 127.0
+                ).reshape(rows, num_heads, beams)            # (G, H, K')
+                spread = bdot(s_hk, perm_s, 2, 0, batched=False)
+                old_win = bdot(scale_ref[idx], wsel_l, 2, 0, batched=False)
+                sstage_ref[idx] = jnp.where(s_in_win[None], spread, old_win)
+            scopy = pltpu.make_async_copy(
+                sstage_ref,
+                scale_out_ref.at[:, pl.ds(i_prog * rows, rows), :,
+                                 pl.ds(sw0, swin)],
+                ssem,
+            )
+            scopy.start()
+            pending_copies.append(scopy)
 
     if scale_ref is not None:
         # Head-replication: s_rep[g, n*H+h, f] = s[g, h, f] for every n.
@@ -168,12 +369,19 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     k_bf = k_t.astype(jnp.bfloat16)
     qk = bdot(q_bd, k_bf, 2, 2, batched=True)                # (G, K*H, L*K')
     if scale_ref is not None:
-        # k dequant scale s_k (G, H, L*K'): same for every beam row.
-        qk = qk * bdot(sel_b, scale_ref[0], 2, 1, batched=True)
+        # k dequant scale s_k (G, H, L*K'): same for every beam row (the
+        # scale buffer's flat axis may carry 128-alignment padding).
+        qk = qk * bdot(sel_b, scale_ref[0][..., :flat], 2, 1, batched=True)
 
     # Ancestor select + per-timestep reduce, all heads at once.
     logits = bdot(qk * onehot_kh_f32, group_f32, 2, 0, batched=False)
     logits = jnp.where(valid, logits, NEG_INF)               # (G, K*H, L)
+    if update:
+        # l == pos: each beam attends its own freshly written row.
+        self_logit = jnp.sum(
+            q_bd.astype(jnp.float32) * self_k, axis=-1, keepdims=True
+        )                                                    # (G, K*H, 1)
+        logits = jnp.where(l_pos == pos, self_logit, logits)
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits - row_max)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -184,17 +392,212 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         # Fold the v dequant scale of head h into row (n, h): only that
         # row's head-h output slice is kept, so scaling the whole row by
         # s_v[h] dequantizes exactly the slice that survives.
-        pw = pw * bdot(sel_b, scale_ref[1], 2, 1, batched=True)
+        pw = pw * bdot(sel_b, scale_ref[1][..., :flat], 2, 1, batched=True)
     pw = pw.astype(jnp.bfloat16) * onehot_kh
 
     v_bf = v_t.astype(jnp.bfloat16)
     out_bd = bdot(pw, v_bf, 2, 1, batched=True)              # (G, K*H, D)
+    if update:
+        p_pos = jnp.sum(
+            probs * (l_pos == pos).astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )                                                    # (G, K*H, 1)
+        out_bd = out_bd + p_pos * self_v
     out = jnp.sum(
         out_bd.reshape(rows, beams, num_heads, d_model)
         * head_mask[None, None].astype(jnp.float32),
         axis=2,
     )
     out_ref[...] = out.astype(out_ref.dtype)
+    for c in pending_copies:
+        c.wait()
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int):
+    """Fused beam cross-attention: qk + bias + softmax + probs.V.
+
+    XLA lowers the (B, K, H, Ls) einsum/softmax formulation to tiles with
+    both minors tiny (Ls~26 lanes x K=10 sublanes, ~2.5% occupancy) plus
+    relayouts between them — measured 186 us per layer per step on v5e,
+    the single largest non-self-attention decode cost. Here the same
+    block-diagonal (beam, head) row packing as _kernel_impl keeps every
+    matmul M = K*H and every VPU op on (K*H, Ls)/(K*H, D) shapes, all in
+    VMEM, one HBM pass over K/V.
+    """
+    q = q_ref[...]                            # (G, K, D)
+    k = k_ref[...]                            # (G, Ls, D)
+    v = v_ref[...]
+    bias = bias_ref[...]                      # (G, Ls) f32
+    # Matmuls run in the K/V storage dtype (bf16 in production; f32 models
+    # keep f32 so the kernel matches the XLA fallback bit-for-bit-ish).
+    mm_dtype = k.dtype
+
+    rows, beams, d_model = q.shape
+    head_dim = d_model // num_heads
+    kh = beams * num_heads
+    scale = head_dim ** -0.5
+
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 1)
+    head_mask = (c_iota // head_dim) == h_iota
+
+    def bdot(lhs, rhs, contract_lhs, contract_rhs):
+        dims = (((contract_lhs,), (contract_rhs,)), ((0,), (0,)))
+        return jax.lax.dot_general(lhs, rhs, dims,
+                                   preferred_element_type=jnp.float32)
+
+    q_bd = (
+        (q * scale).astype(mm_dtype)[:, :, None, :]
+        * head_mask[None, None].astype(mm_dtype)
+    ).reshape(rows, kh, d_model)              # (G, K*H, D)
+
+    # Bias broadcast (G, Ls) -> (G, K*H, Ls) as a degenerate matmul: the
+    # implicit sublane 1 -> K*H broadcast is unsupported by Mosaic on the
+    # (K*H, Ls~26) tile shape (crashes), the K=1 matmul is not.
+    ones = jnp.ones((rows, kh, 1), jnp.float32)
+    logits = bdot(q_bd, k, 2, 2) + bdot(ones, bias[:, None, :], 2, 1)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - row_max)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    out_bd = bdot(probs.astype(mm_dtype), v, 2, 1)           # (G, K*H, D)
+    out = jnp.sum(
+        out_bd.reshape(rows, beams, num_heads, d_model)
+        * head_mask[None, None].astype(jnp.float32),
+        axis=2,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def beam_cross_attention(
+    q: jnp.ndarray,          # (B, K, D) post q_proj
+    k: jnp.ndarray,          # (B, Ls, D) flat encoder K (beam-invariant)
+    v: jnp.ndarray,          # (B, Ls, D) flat encoder V
+    bias: jnp.ndarray,       # (B, Ls) f32 additive padding bias
+    num_heads: int,
+) -> jnp.ndarray:
+    """Returns (B, K, D) fused cross-attention output (pre out_proj)."""
+    batch, beams, d_model = q.shape
+    ls = k.shape[1]
+    # K/V blocks are small (~50 KB/row); cap the block well under VMEM so
+    # the grid keeps >= ~8 programs and the pipeline overlaps DMA/compute.
+    row_bytes = 2 * ls * d_model * k.dtype.itemsize
+    rows = 1
+    for g in range(1, batch + 1):
+        if batch % g == 0 and g * row_bytes <= 2 * 2**20:
+            rows = g
+
+    grid = (batch // rows,)
+    return pl.pallas_call(
+        functools.partial(_cross_kernel, num_heads=num_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, beams, d_model), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, ls, d_model), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, ls, d_model), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, ls), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, beams, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, beams, d_model), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+def beam_select_attention_update(
+    q: jnp.ndarray,          # (B, K, D)
+    k_new: jnp.ndarray,      # (B, K, D) this step's K rows (pre-store)
+    v_new: jnp.ndarray,      # (B, K, D) this step's V rows
+    cache: jnp.ndarray,      # (2, B, L*K, D); rows at `position` STALE
+    ancestry: jnp.ndarray,   # (B, K, L) int32
+    position,                # scalar int32 step index
+    num_heads: int,
+    scales: jnp.ndarray = None,  # (2, B, H, L*K) fp32 when cache is int8
+):
+    """Fused attention + in-place cache append (+ int8 quantize).
+
+    Returns (out (B, K, D), cache', scales' | None) with cache'/scales'
+    aliased in-place (donated) — the new rows land at flat offset
+    position*K via a position-indexed output block instead of a separate
+    dynamic_update_slice scatter.
+    """
+    two, batch, flat_total, d_model = cache.shape
+    beams = ancestry.shape[1]
+    length = flat_total // beams
+    pos = jnp.asarray(position, jnp.int32).reshape((1,))
+
+    flat = length * beams
+    row_bytes = 2 * flat * d_model * cache.dtype.itemsize
+    if scales is not None:
+        row_bytes += 2 * num_heads * flat * scales.dtype.itemsize
+    rows = _rows_per_program(batch, row_bytes)
+
+    onehot = (
+        ancestry[:, :, :, None] == jnp.arange(beams)[None, None, None, :]
+    ).astype(jnp.bfloat16).reshape(batch, beams, length * beams)
+
+    in_specs = [
+        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows, beams, flat), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((2, rows, flat, d_model), lambda i, pos: (0, i, 0, 0)),
+    ]
+    # The appended rows land via an in-kernel DMA (VMEM staging scratch ->
+    # dynamic flat offset of the ANY-space aliased cache ref): a (K', D)
+    # block write at offset pos*K' is not expressible as a blocked output
+    # (K'=10 violates Mosaic's second-minor divisibility), and the manual
+    # DMA overlaps the attention matmuls.
+    out_specs = [
+        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((batch, beams, d_model), q.dtype),
+        jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, rows, 64, d_model), cache.dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+    operands = [pos, q, k_new, v_new, onehot, cache]
+    # Operand indices include the scalar-prefetch arg (pos = 0).
+    aliases = {5: 1}
+    kernel = _kernel_upd
+    if scales is not None:
+        flat_pad = scales.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((2, rows, num_heads, flat_pad),
+                         lambda i, pos: (0, i, 0, 0))
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))
+        scratch_shapes.extend([
+            pltpu.VMEM((2, rows, num_heads, min(128, flat_pad)),
+                       scales.dtype),
+            pltpu.SemaphoreType.DMA,
+        ])
+        operands.append(scales)
+        aliases[6] = 2
+        kernel = _kernel_upd_q8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch // rows,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+    outs = pl.pallas_call(
+        functools.partial(kernel, num_heads=num_heads, slots=beams),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(*operands)
+    if scales is not None:
+        return outs[0], outs[1], outs[2]
+    return outs[0], outs[1], None
 
 
 def beam_select_attention(
@@ -233,7 +636,7 @@ def beam_select_attention(
     kernel = _kernel
     if scales is not None:
         in_specs.append(
-            pl.BlockSpec((2, rows, num_heads, length * beams),
+            pl.BlockSpec((2, rows, num_heads, scales.shape[-1]),
                          lambda i, pos: (0, i, 0, 0))
         )
         operands.append(scales)

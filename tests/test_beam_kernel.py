@@ -48,6 +48,35 @@ def test_kernel_matches_xla_path():
         assert err < 2e-2, f"pos {position}: max err {err}"
 
 
+def test_cross_kernel_matches_xla_math():
+    """Fused beam cross-attention kernel (interpret) vs the einsum math."""
+    from multimodalanalytical_tpu.ops.beam_attention import (
+        beam_cross_attention,
+    )
+
+    ls = 11
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_, km = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (B, K, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, ls, D), jnp.bfloat16)
+    v = jax.random.normal(kv_, (B, ls, D), jnp.bfloat16)
+    keep = jax.random.bernoulli(km, 0.8, (B, ls)).at[:, 0].set(True)
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+
+    got = np.asarray(beam_cross_attention(q, k, v, bias, H), np.float32)
+
+    qh = q.reshape(B, K, H, DH).astype(jnp.float32)
+    kh = k.reshape(B, ls, H, DH).astype(jnp.float32)
+    vh = v.reshape(B, ls, H, DH).astype(jnp.float32)
+    logits = jnp.einsum("bkhd,blhd->bkhl", qh * DH ** -0.5, kh)
+    logits = logits + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = np.asarray(
+        jnp.einsum("bkhl,blhd->bkhd", probs, vh).reshape(B, K, D), np.float32
+    )
+    assert np.abs(want - got).max() < 2e-2
+
+
 def _quantize_cache(cache, num_heads):
     """Reference int8 per-(slot, head) quantization of a bf16 cache."""
     from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
@@ -100,6 +129,58 @@ def test_quantize_roundtrip_error_bound():
     assert (np.abs(deq - x_np) <= bound).all()
 
 
+def test_update_kernel_matches_store_then_read():
+    """Fused attention+append kernel vs DUS-then-read, bf16 and int8."""
+    from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
+    from multimodalanalytical_tpu.ops.beam_attention import (
+        beam_select_attention, beam_select_attention_update,
+    )
+
+    key = jax.random.PRNGKey(7)
+    kq, kc, ka, kk, kv_ = jax.random.split(key, 5)
+    q = jax.random.normal(kq, (B, K, D), jnp.bfloat16)
+    cache = jax.random.normal(kc, (2, B, L * K, D), jnp.bfloat16)
+    k_new = jax.random.normal(kk, (B, K, D), jnp.bfloat16)
+    v_new = jax.random.normal(kv_, (B, K, D), jnp.bfloat16)
+    ancestry = jax.random.randint(ka, (B, K, L), 0, K)
+    # Beam n writes slot n at `position` (beam_search sets this row).
+    for position in (0, 5, L - 1):
+        anc = ancestry.at[:, :, position].set(jnp.arange(K)[None, :])
+
+        # ---- bf16 ----
+        stored = jax.lax.dynamic_update_slice(
+            cache, jnp.stack([k_new, v_new]), (0, 0, position * K, 0))
+        want = np.asarray(
+            beam_select_attention(q, stored, anc, position, H), np.float32)
+        got, cache_out, _ = beam_select_attention_update(
+            q, k_new, v_new, cache, anc, position, H)
+        assert np.abs(np.asarray(got, np.float32) - want).max() < 2e-2, (
+            f"bf16 pos {position}")
+        np.testing.assert_array_equal(
+            np.asarray(cache_out), np.asarray(stored))
+
+        # ---- int8 ----
+        data0, scale0 = _quantize_cache(cache, H)
+        k_q, k_s = quantize_kv_heads(k_new, H)
+        v_q, v_s = quantize_kv_heads(v_new, H)
+        data_stored = jax.lax.dynamic_update_slice(
+            data0, jnp.stack([k_q, v_q]), (0, 0, position * K, 0))
+        scale_stored = jax.lax.dynamic_update_slice(
+            scale0, jnp.stack([k_s, v_s]).transpose(0, 1, 3, 2),
+            (0, 0, 0, position * K))
+        want = np.asarray(
+            beam_select_attention(q, data_stored, anc, position, H,
+                                  scales=scale_stored), np.float32)
+        got, data_out, scale_out = beam_select_attention_update(
+            q, k_new, v_new, data0, anc, position, H, scales=scale0)
+        assert np.abs(np.asarray(got, np.float32) - want).max() < 2e-2, (
+            f"int8 pos {position}")
+        np.testing.assert_array_equal(
+            np.asarray(data_out), np.asarray(data_stored))
+        np.testing.assert_allclose(
+            np.asarray(scale_out), np.asarray(scale_stored), rtol=1e-6)
+
+
 def _sharpen_lm_head(variables, factor=8.0):
     """Scale the lm_head so random-init logits are well separated — beam
     choices then survive sub-percent numerical perturbations (int8 quant)."""
@@ -127,23 +208,24 @@ def test_int8_beam_search_matches_bf16():
     )
     variables = _sharpen_lm_head(variables)
 
+    # max_length * beams = 128 passes the quantize gate (flat % 128 == 0).
     seqs_bf, scores_bf = beam_search(
         model, variables, batch["encoder_inputs"],
-        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
+        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=32,
     )
 
     q_model = dataclasses.replace(model, config=dataclasses.replace(
         model.config, kv_cache_dtype="int8"))
     # Confirm the eligibility gate actually engages for these shapes.
     cache = q_model.apply(
-        variables, 2, 4, 16, jnp.zeros((2, 26, 512), jnp.float32), True,
+        variables, 2, 4, 32, jnp.zeros((2, 26, 512), jnp.float32), True,
         method=type(q_model).init_beam_cache,
     )
     assert cache["self"][0]["data"].dtype == jnp.int8
 
     seqs_q, scores_q = beam_search(
         q_model, variables, batch["encoder_inputs"],
-        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=16,
+        jnp.asarray(batch["encoder_mask"]), num_beams=4, max_length=32,
     )
 
     assert (np.asarray(seqs_bf) == np.asarray(seqs_q)).all()
