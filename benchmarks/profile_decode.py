@@ -539,9 +539,11 @@ def run_stepops():
     orig = MultiHeadAttention.beam_decode_self_attention
 
     def stub(self, x, cache_kv, ancestry, position, extra_bias=None):
-        batch, beams, _ = x.shape
-        q_flat, k_new, v_new = self._qkv(x)
-        new_rows = jnp.stack([k_new, v_new])
+        batch, beams = ancestry.shape[0], ancestry.shape[1]
+        q_flat, k_new, v_new = self._qkv(x)          # (B*K, D) flat
+        new_rows = jnp.stack([
+            k_new.reshape(batch, beams, -1), v_new.reshape(batch, beams, -1)
+        ])
         store = cache_kv["data"] if isinstance(cache_kv, dict) else cache_kv
         store = jax.lax.dynamic_update_slice(
             store, new_rows.astype(store.dtype), (0, 0, position * beams, 0))

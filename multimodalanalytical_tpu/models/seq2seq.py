@@ -194,12 +194,16 @@ class Seq2SeqModel(nn.Module):
             {self.target_modality: token_ids.reshape(batch * beams, 1)},
             decode_positions=positions,
         )
-        x = embeds.reshape(batch, beams, self.config.d_model)
+        # The whole decode step runs on FLAT (B*K, D) 2D arrays (see
+        # DecoderLayer.beam_decode_step) — only the logits reshape back.
+        x = embeds.reshape(batch * beams, self.config.d_model)
         cross_bias = make_attention_bias(encoder_mask)
         hidden, new_selves = self.decoder.beam_decode_step(
             x, cache["self"], ancestry, cache["cross"], cross_bias, position
         )
-        logits = self.lm_head(hidden.astype(jnp.float32))
+        logits = self.lm_head(
+            hidden.astype(jnp.float32)
+        ).reshape(batch, beams, -1)
         return logits, new_selves
 
     def decode_step(

@@ -176,18 +176,26 @@ class DecoderLayer(nn.Module):
         extra_bias=None,             # optional (1, H, 1, L) additive bias
     ):
         """Lazy-ancestry beam decode through this layer (see
-        ops/attention.py beam_decode_self_attention). Returns (x, cache)."""
+        ops/attention.py beam_decode_self_attention). Returns (x, cache).
+
+        The whole step — norms, FFN, residuals, projections, and the
+        attention kernels' q/out — runs on FLAT (B*K, D) 2D arrays: the
+        (B, K=10, D) 3D forms give XLA 10-sublane tile layouts whose
+        epilogue fusions measured ~4x their floor on v5e, and 3D kernel
+        operands forced relayout copies at the custom-call boundary. Only
+        the ancestry table / KV caches carry the beam structure.
+        """
         if self.norm_first:
-            normed = self.norm1(x).astype(self.dtype)
             h, self_cache = self.self_attn.beam_decode_self_attention(
-                normed, self_cache, ancestry, position, extra_bias=extra_bias
+                self.norm1(x).astype(self.dtype), self_cache, ancestry,
+                position, extra_bias=extra_bias,
             )
             x = x + h
-            h = self.cross_attn.beam_decode_cross_attention(
-                self.norm2(x).astype(self.dtype), cross_kv, cross_bias
+            x = x + self.cross_attn.beam_decode_cross_attention(
+                self.norm2(x).astype(self.dtype), cross_kv, cross_bias,
             )
-            x = x + h
-            x = x + self.ff(self.norm3(x).astype(self.dtype), deterministic=True)
+            x = x + self.ff(self.norm3(x).astype(self.dtype),
+                            deterministic=True)
         else:
             h, self_cache = self.self_attn.beam_decode_self_attention(
                 x, self_cache, ancestry, position, extra_bias=extra_bias
@@ -345,8 +353,10 @@ class Decoder(nn.Module):
                          cross_bias, position):
         """Lazy-ancestry beam decode through the stack.
 
-        ``self_caches``: per-layer (2, L, B, K, D) un-permuted buffers.
-        Returns (hidden (B, K, D), updated self_caches)."""
+        ``x``: FLAT (B*K, D) — the whole beam-decode stack is 2D (see
+        DecoderLayer.beam_decode_step). ``self_caches``: per-layer
+        slot-flattened un-permuted buffers.
+        Returns (hidden (B*K, D), updated self_caches)."""
         extra_bias = None
         if self.relative_bias:
             length = ancestry.shape[2]

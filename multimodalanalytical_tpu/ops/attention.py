@@ -201,7 +201,7 @@ class MultiHeadAttention(nn.Module):
 
     def beam_decode_self_attention(
         self,
-        x: jnp.ndarray,            # (B, K, D) current-token hidden per beam
+        x: jnp.ndarray,            # (B*K, D) FLAT current-token hidden
         cache_kv: jnp.ndarray,     # (2, B, L*K, D) slot-flattened, UN-permuted
         ancestry: jnp.ndarray,     # (B, K, L) int32 slot table
         position,                  # scalar step index
@@ -225,11 +225,16 @@ class MultiHeadAttention(nn.Module):
         (B,K,H,K',L) selection intermediates (~100 MB/layer, measured
         ~10 ms/step at flagship scale vs ~3 ms mandatory cache read).
 
-        Returns (out (B, K, D), updated cache).
+        x stays FLAT 2D end to end on the kernel path — (B, K=10, D) 3D
+        forms force 10-sublane tile layouts on every projection epilogue
+        (measured ~4x their floor), and the kernels split/merge the beam
+        axis internally for free.
+
+        Returns (out (B*K, D), updated cache).
         """
-        batch, beams, _ = x.shape
+        batch, beams = ancestry.shape[0], ancestry.shape[1]
         head_dim = self.d_model // self.num_heads
-        q_flat, k_new, v_new = self._qkv(x)              # (B, K, D) each
+        q_flat, k_new, v_new = self._qkv(x)              # (B*K, D) each
 
         # int8-quantized cache: {"data": (2, B, L*K, D) int8,
         # "scale": (2, B, H, L*K) fp32} (see ModelConfig.kv_cache_dtype).
@@ -271,6 +276,9 @@ class MultiHeadAttention(nn.Module):
             )
             return self.out_proj(out.astype(x.dtype)), data
 
+        # XLA fallback works on (B, K, D) views of the flat rows.
+        k_new = k_new.reshape(batch, beams, self.d_model)
+        v_new = v_new.reshape(batch, beams, self.d_model)
         scales = None
         if quantized:
             k_q, k_s = quantize_kv_heads(k_new, self.num_heads)
@@ -336,12 +344,12 @@ class MultiHeadAttention(nn.Module):
             "bnhlk,blkhd->bnhd", pw, kv[1],
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        out = out.reshape(batch, beams, self.d_model)
+        out = out.reshape(batch * beams, self.d_model)
         return self.out_proj(out), cache_kv
 
     def beam_decode_cross_attention(
         self,
-        x: jnp.ndarray,                          # (B, K, D)
+        x: jnp.ndarray,                          # (B*K, D) FLAT
         kv: Tuple[jnp.ndarray, jnp.ndarray],     # UN-tiled FLAT (B, Ls, D)
         bias: Optional[jnp.ndarray],             # (B, 1, 1, Ls)
     ) -> jnp.ndarray:
@@ -353,10 +361,12 @@ class MultiHeadAttention(nn.Module):
         the XLA fallback re-splits heads (the (B, K, H, Ls) einsum/softmax
         shapes lower to ~2.5%-occupancy tiles on TPU — 186 us/layer/step
         measured on v5e — which is exactly why the kernel path exists).
+        x stays flat 2D (see beam_decode_self_attention); returns (B*K, D).
         """
-        batch, beams, _ = x.shape
+        batch = kv[0].shape[0]
+        beams = x.shape[0] // batch
         head_dim = self.d_model // self.num_heads
-        q_flat = self.q_proj(x)                  # (B, K, D)
+        q_flat = self.q_proj(x)                  # (B*K, D)
 
         kernel_ok = self.d_model % 128 == 0 and head_dim % 64 == 0
         if (kernel_ok and self.use_beam_kernel
@@ -370,7 +380,7 @@ class MultiHeadAttention(nn.Module):
                 bias2d = bias[:, 0, 0, :].astype(jnp.float32)
             out = beam_cross_attention(
                 q_flat.astype(kv[0].dtype), kv[0], kv[1], bias2d,
-                self.num_heads,
+                self.num_heads, beams,
             ).astype(x.dtype)
             return self.out_proj(out)
 
@@ -391,7 +401,7 @@ class MultiHeadAttention(nn.Module):
             "bkhl,blhd->bkhd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        return self.out_proj(out.reshape(batch, beams, self.d_model))
+        return self.out_proj(out.reshape(batch * beams, self.d_model))
 
     def decode_cross_attention(
         self,

@@ -80,7 +80,8 @@ def _kernel_upd(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
     _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, None, out_ref,
                  num_heads=num_heads, slots=slots,
                  kn_ref=kn_ref, vn_ref=vn_ref,
-                 cache_out_ref=cache_out_ref, stage_ref=stage_ref, sem=sem)
+                 cache_out_ref=cache_out_ref, stage_ref=stage_ref, sem=sem,
+                 flat_io=True)
 
 
 def _kernel_upd_q8(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
@@ -93,13 +94,14 @@ def _kernel_upd_q8(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
                  kn_ref=kn_ref, vn_ref=vn_ref,
                  cache_out_ref=cache_out_ref, scale_out_ref=scale_out_ref,
                  stage_ref=stage_ref, sem=sem,
-                 sstage_ref=sstage_ref, ssem=ssem)
+                 sstage_ref=sstage_ref, ssem=ssem, flat_io=True)
 
 
 def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
                  num_heads: int, slots: int, kn_ref=None, vn_ref=None,
                  cache_out_ref=None, scale_out_ref=None,
-                 stage_ref=None, sem=None, sstage_ref=None, ssem=None):
+                 stage_ref=None, sem=None, sstage_ref=None, ssem=None,
+                 flat_io: bool = False):
     """Block-diagonal head packing.
 
     The per-head formulation (one (K, Dh) x (Dh, L*K') matmul per head) pads
@@ -140,10 +142,14 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     update = kn_ref is not None
     k_t = cache_ref[0]                        # (G, L*K', D) bf16 | int8
     v_t = cache_ref[1]
-    q = q_ref[...]                            # (G, K, D)
+    q = q_ref[...]                            # (G, K, D) | flat (G*K, D)
     onehot = onehot_ref[...]                  # (G, K, L*K') bf16
 
     rows, flat, d_model = k_t.shape
+    if flat_io:
+        # Flat 2D q/out at the XLA boundary (clean (8,128) tile layouts);
+        # the (G*K, D) -> (G, K, D) sublane split is free here.
+        q = q.reshape(rows, q.shape[0] // rows, d_model)
     beams = q.shape[1]
     length = flat // slots
     head_dim = d_model // num_heads
@@ -217,6 +223,9 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         i_prog = pl.program_id(0)
         k_new = kn_ref[...]                                  # (G, K, D)
         v_new = vn_ref[...]
+        if flat_io:
+            k_new = k_new.reshape(rows, beams, d_model)
+            v_new = v_new.reshape(rows, beams, d_model)
         w0 = pl.multiple_of(
             jnp.minimum((pos * slots) // 32 * 32, flat - 64), 32)
         off = pos * slots - w0                               # in [0, 54]
@@ -408,12 +417,15 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         * head_mask[None, None].astype(jnp.float32),
         axis=2,
     )
+    if flat_io:
+        out = out.reshape(rows * beams, d_model)
     out_ref[...] = out.astype(out_ref.dtype)
     for c in pending_copies:
         c.wait()
 
 
-def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int):
+def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                  num_heads: int, beams: int):
     """Fused beam cross-attention: qk + bias + softmax + probs.V.
 
     XLA lowers the (B, K, H, Ls) einsum/softmax formulation to tiles with
@@ -424,7 +436,6 @@ def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int):
     matmul M = K*H and every VPU op on (K*H, Ls)/(K*H, D) shapes, all in
     VMEM, one HBM pass over K/V.
     """
-    q = q_ref[...]                            # (G, K, D)
     k = k_ref[...]                            # (G, Ls, D)
     v = v_ref[...]
     bias = bias_ref[...]                      # (G, Ls) f32
@@ -432,7 +443,9 @@ def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int):
     # keep f32 so the kernel matches the XLA fallback bit-for-bit-ish).
     mm_dtype = k.dtype
 
-    rows, beams, d_model = q.shape
+    rows, _, d_model = k.shape
+    # Flat 2D q/out at the XLA boundary (see _kernel_impl flat_io).
+    q = q_ref[...].reshape(rows, beams, d_model)
     head_dim = d_model // num_heads
     kh = beams * num_heads
     scale = head_dim ** -0.5
@@ -466,19 +479,19 @@ def _cross_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int):
         * head_mask[None, None].astype(jnp.float32),
         axis=2,
     )
-    out_ref[...] = out.astype(out_ref.dtype)
+    out_ref[...] = out.reshape(rows * beams, d_model).astype(out_ref.dtype)
 
 
 def beam_cross_attention(
-    q: jnp.ndarray,          # (B, K, D) post q_proj
+    q: jnp.ndarray,          # (B*K, D) FLAT post q_proj
     k: jnp.ndarray,          # (B, Ls, D) flat encoder K (beam-invariant)
     v: jnp.ndarray,          # (B, Ls, D) flat encoder V
     bias: jnp.ndarray,       # (B, Ls) f32 additive padding bias
     num_heads: int,
+    beams: int,
 ) -> jnp.ndarray:
-    """Returns (B, K, D) fused cross-attention output (pre out_proj)."""
-    batch, beams, d_model = q.shape
-    ls = k.shape[1]
+    """Returns (B*K, D) fused cross-attention output (pre out_proj)."""
+    batch, ls, d_model = k.shape
     # K/V blocks are small (~50 KB/row); cap the block well under VMEM so
     # the grid keeps >= ~8 programs and the pipeline overlaps DMA/compute.
     row_bytes = 2 * ls * d_model * k.dtype.itemsize
@@ -489,35 +502,39 @@ def beam_cross_attention(
 
     grid = (batch // rows,)
     return pl.pallas_call(
-        functools.partial(_cross_kernel, num_heads=num_heads),
+        functools.partial(_cross_kernel, num_heads=num_heads, beams=beams),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, beams, d_model), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows * beams, d_model), lambda i: (i, 0)),
             pl.BlockSpec((rows, ls, d_model), lambda i: (i, 0, 0)),
             pl.BlockSpec((rows, ls, d_model), lambda i: (i, 0, 0)),
             pl.BlockSpec((rows, ls), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((rows, beams, d_model), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, beams, d_model), q.dtype),
+        out_specs=pl.BlockSpec((rows * beams, d_model), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch * beams, d_model), q.dtype),
         interpret=_interpret(),
     )(q, k, v, bias)
 
 
 def beam_select_attention_update(
-    q: jnp.ndarray,          # (B, K, D)
-    k_new: jnp.ndarray,      # (B, K, D) this step's K rows (pre-store)
-    v_new: jnp.ndarray,      # (B, K, D) this step's V rows
+    q: jnp.ndarray,          # (B*K, D) FLAT queries
+    k_new: jnp.ndarray,      # (B*K, D) this step's K rows (pre-store)
+    v_new: jnp.ndarray,      # (B*K, D) this step's V rows (FLAT)
     cache: jnp.ndarray,      # (2, B, L*K, D); rows at `position` STALE
     ancestry: jnp.ndarray,   # (B, K, L) int32
     position,                # scalar int32 step index
     num_heads: int,
-    scales: jnp.ndarray = None,  # (2, B, H, L*K) fp32 when cache is int8
+    scales: jnp.ndarray = None,  # (2, B, H, >=L*K) fp32 when cache is int8
 ):
     """Fused attention + in-place cache append (+ int8 quantize).
 
-    Returns (out (B, K, D), cache', scales' | None) with cache'/scales'
+    q/k_new/v_new arrive FLAT (B*K, D) and out returns flat — 2D keeps the
+    XLA-side projection layouts on clean (8,128) tiles (3D (B, 10, D)
+    operands force relayout copies at the kernel boundary).
+
+    Returns (out (B*K, D), cache', scales' | None) with cache'/scales'
     aliased in-place (donated) — the new rows land at flat offset
-    position*K via a position-indexed output block instead of a separate
+    position*K via an in-kernel aligned-window DMA instead of a separate
     dynamic_update_slice scatter.
     """
     two, batch, flat_total, d_model = cache.shape
@@ -536,9 +553,9 @@ def beam_select_attention_update(
     ).astype(jnp.bfloat16).reshape(batch, beams, length * beams)
 
     in_specs = [
-        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
-        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
-        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows * beams, d_model), lambda i, pos: (i, 0)),
+        pl.BlockSpec((rows * beams, d_model), lambda i, pos: (i, 0)),
+        pl.BlockSpec((rows * beams, d_model), lambda i, pos: (i, 0)),
         pl.BlockSpec((rows, beams, flat), lambda i, pos: (i, 0, 0)),
         pl.BlockSpec((2, rows, flat, d_model), lambda i, pos: (0, i, 0, 0)),
     ]
@@ -548,11 +565,11 @@ def beam_select_attention_update(
     # (K'=10 violates Mosaic's second-minor divisibility), and the manual
     # DMA overlaps the attention matmuls.
     out_specs = [
-        pl.BlockSpec((rows, beams, d_model), lambda i, pos: (i, 0, 0)),
+        pl.BlockSpec((rows * beams, d_model), lambda i, pos: (i, 0)),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((batch, beams, d_model), q.dtype),
+        jax.ShapeDtypeStruct((batch * beams, d_model), q.dtype),
         jax.ShapeDtypeStruct(cache.shape, cache.dtype),
     ]
     scratch_shapes = [

@@ -63,7 +63,10 @@ def test_cross_kernel_matches_xla_math():
     keep = jax.random.bernoulli(km, 0.8, (B, ls)).at[:, 0].set(True)
     bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
 
-    got = np.asarray(beam_cross_attention(q, k, v, bias, H), np.float32)
+    got = np.asarray(
+        beam_cross_attention(q.reshape(B * K, D), k, v, bias, H, K),
+        np.float32,
+    ).reshape(B, K, D)
 
     qh = q.reshape(B, K, H, DH).astype(jnp.float32)
     kh = k.reshape(B, ls, H, DH).astype(jnp.float32)
@@ -153,7 +156,9 @@ def test_update_kernel_matches_store_then_read():
         want = np.asarray(
             beam_select_attention(q, stored, anc, position, H), np.float32)
         got, cache_out, _ = beam_select_attention_update(
-            q, k_new, v_new, cache, anc, position, H)
+            q.reshape(B * K, D), k_new.reshape(B * K, D),
+            v_new.reshape(B * K, D), cache, anc, position, H)
+        got = got.reshape(B, K, D)
         assert np.abs(np.asarray(got, np.float32) - want).max() < 2e-2, (
             f"bf16 pos {position}")
         np.testing.assert_array_equal(
@@ -172,7 +177,9 @@ def test_update_kernel_matches_store_then_read():
             beam_select_attention(q, data_stored, anc, position, H,
                                   scales=scale_stored), np.float32)
         got, data_out, scale_out = beam_select_attention_update(
-            q, k_new, v_new, data0, anc, position, H, scales=scale0)
+            q.reshape(B * K, D), k_new.reshape(B * K, D),
+            v_new.reshape(B * K, D), data0, anc, position, H, scales=scale0)
+        got = got.reshape(B, K, D)
         assert np.abs(np.asarray(got, np.float32) - want).max() < 2e-2, (
             f"int8 pos {position}")
         np.testing.assert_array_equal(
