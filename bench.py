@@ -16,7 +16,10 @@ Measured quantities:
     ~15-45 tokens; the early-exit stops the loop there).
 
 Headline metric: combined spectra/s/chip where every spectrum is trained on
-once and decoded once, using the WORST-CASE decode.
+once and decoded once, using the TYPICAL-CASE decode — the baseline's
+decode side is also the reference's typical case, so this is the
+like-for-like ratio. The worst-case combined (full len-128 loop, no early
+exit, i.e. an untrained model) is reported in `detail` alongside.
 
 Baseline (REF_COMBINED_SPECTRA_PER_SEC = 70): an estimate for the reference
 on 1x V100, derived as follows and deliberately GENEROUS to the reference —
@@ -134,12 +137,19 @@ def main() -> None:
     decode_typical_s = time_decode(TYPICAL_DECODE_LEN)
     decode_tput = BATCH / decode_worst_s
 
-    combined = 1.0 / (1.0 / train_tput + 1.0 / decode_tput)
+    # Headline: TYPICAL-case decode — the 70/s baseline's decode side is
+    # the reference's typical case (trained model, ~40-token SMILES), so
+    # typical-vs-typical is the like-for-like ratio. The worst-case number
+    # (full len-128 loop, no early exit) is reported alongside: at it the
+    # ratio would still be `combined_worst / 70`.
+    combined_worst = 1.0 / (1.0 / train_tput + 1.0 / decode_tput)
+    combined = 1.0 / (1.0 / train_tput + decode_typical_s / BATCH)
     result = {
         "metric": "ir_recipe_spectra_per_sec_per_chip",
         "value": round(combined, 2),
-        "unit": "spectra/s (train + worst-case beam10 len-128 decode, "
-                "batch 128, bf16, vocab 320)",
+        "unit": "spectra/s (train + typical len-48 beam10 decode, "
+                "batch 128, bf16, vocab 320; like-for-like vs the "
+                "typical-case V100 baseline)",
         "vs_baseline": round(combined / REF_COMBINED_SPECTRA_PER_SEC, 2),
         "detail": {
             "train_spectra_per_sec": round(train_tput, 1),
@@ -149,8 +159,9 @@ def main() -> None:
             "decode_typical_batch_s": round(decode_typical_s, 3),
             "decode_typical_spectra_per_sec": round(
                 BATCH / decode_typical_s, 1),
-            "combined_typical_spectra_per_sec": round(
-                1.0 / (1.0 / train_tput + decode_typical_s / BATCH), 1),
+            "combined_worst_spectra_per_sec": round(combined_worst, 1),
+            "vs_baseline_worst_case": round(
+                combined_worst / REF_COMBINED_SPECTRA_PER_SEC, 2),
             "baseline_note": "70/s = reference V100 estimate with "
                              "TYPICAL-case decode; see bench.py docstring",
             "device": str(jax.devices()[0]),

@@ -19,16 +19,19 @@ program (ROWS_PER_PROGRAM, G-batched matmuls): one program per row leaves
 the pipeline latency-bound on ~100k tiny programs per decode.
 
 Layout contract (matches Seq2SeqModel.init_beam_cache):
-  cache: (2, B, L*K, D) bf16 slot-flattened (flat index l*K + s = beam-slot
-         s's time-l row), rows already updated for this step (the (B, K, D)
-         dynamic_update_slice happens OUTSIDE the kernel — it is small and
-         XLA performs it in place inside the while_loop). Flat layout means
-         the kernel's (G, L*K, D) blocks need NO in-kernel relayout — the
-         (2, L, B, K, D) layout's transpose ran the kernel at 126 GB/s.
-  q:     (B, K, D)  current-step queries (post q_proj, pre head-split)
+  cache: (2, B, L*K, D) bf16|int8 slot-flattened (flat index l*K + s =
+         beam-slot s's time-l row). In the production update kernels the
+         rows for `position` are appended IN-KERNEL (quantized for int8)
+         via an aligned-window DMA through an ANY-space aliased output;
+         the read-only kernels expect them already stored. Flat layout
+         means the kernel's (G, L*K, D) blocks need NO in-kernel relayout
+         — the (2, L, B, K, D) layout's transpose ran at 126 GB/s.
+  q:     (B*K, D) FLAT current-step queries (post q_proj, pre head-split)
+         in the update kernels ((B, K, D) in the read-only test kernels);
+         2D keeps the XLA-side projection layouts on clean (8,128) tiles.
   onehot:(B, K, L*K') bf16 flattened ancestry one-hot
          (onehot[b, n, l*K'+s] = 1 iff slot s holds beam n's time-l K/V)
-  out:   (B, K, D)  attention output (pre out_proj)
+  out:   same layout as q, attention output (pre out_proj)
 """
 
 from __future__ import annotations

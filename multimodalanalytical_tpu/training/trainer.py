@@ -420,8 +420,16 @@ class Trainer:
 
         self._val_count += 1
         improved = monitor > best_monitor
+        # Improvement-saves honor the cadence too: on a steadily improving
+        # run nearly every validation improves, and each save ships ~0.6 GB
+        # of params+optimizer state device->host (~45 s on the axon tunnel,
+        # dwarfing 1-2 s epochs). At N > 1 the "best" checkpoint is the best
+        # of the sampled epochs; the end-of-fit save always runs, so the
+        # final model is never lost. N=1 reproduces the reference's
+        # every-epoch cadence exactly.
+        due = self._val_count % self.checkpoint_every_n_vals == 0
         if checkpoints is not None and (
-            improved or self._val_count % self.checkpoint_every_n_vals == 0
+            due or (improved and self.checkpoint_every_n_vals == 1)
         ):
             checkpoints.save(
                 global_step,
