@@ -13,6 +13,7 @@ from typing import Any, Dict, Optional, Tuple
 from ..configuration import DEFAULT_SETTINGS
 from ..data.collator import MultiModalCollator
 from ..data.data_utils import (
+    save_collator_lengths,
     fit_preprocessors,
     load_preprocessors_artifact,
     sample_rows,
@@ -69,6 +70,7 @@ def build_collator(
     train_set,
     batch_size: int,
     extra_columns=None,
+    artifact_path=None,
 ) -> MultiModalCollator:
     collator = MultiModalCollator(
         preprocessors=preprocessors,
@@ -78,6 +80,13 @@ def build_collator(
     )
     sampled = sample_train_columns(train_set)
     collator.fit_lengths(sampled)
+    if artifact_path is not None and Path(artifact_path).is_file():
+        # Persist the fitted static shapes so the artifact alone can serve
+        # (cli/serve.py needs the exact jit shapes without a dataset).
+        save_collator_lengths(
+            artifact_path, collator.max_source_length,
+            collator.max_target_length,
+        )
     return collator
 
 

@@ -61,7 +61,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     )
     logger.info("Built dataset")
 
-    data_config, preprocessors, _ = build_preprocessors(
+    data_config, preprocessors, artifact_path = build_preprocessors(
         config, data_config, dataset["train"]
     )
     logger.info("Built preprocessors")
@@ -71,6 +71,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     collator = build_collator(
         data_config, preprocessors, dataset["train"], batch_size,
         extra_columns=[predict_class] if predict_class else None,
+        artifact_path=artifact_path,
     )
     loaders = build_loaders(dataset, collator, batch_size, seed)
     target_modality = collator.target_modality

@@ -172,6 +172,33 @@ def save_preprocessors(
         json.dump(payload, f)
 
 
+def save_collator_lengths(
+    path: Path, max_source_length: Dict[str, int], max_target_length: int
+) -> None:
+    """Embed the fitted static batch shapes into an existing artifact.
+
+    The collator's max lengths are computed from TRAIN data at fit time;
+    persisting them makes the artifact self-sufficient for serving (the
+    server reconstructs the exact jit shapes with no dataset on hand)."""
+    path = Path(path)
+    with path.open() as f:
+        payload = json.load(f)
+    payload["collator_lengths"] = {
+        "max_source_length": dict(max_source_length),
+        "max_target_length": max_target_length,
+    }
+    with path.open("w") as f:
+        json.dump(payload, f)
+
+
+def load_collator_lengths(path: Path):
+    """Returns {"max_source_length": {...}, "max_target_length": int} or
+    None for artifacts written before serving support."""
+    with Path(path).open() as f:
+        payload = json.load(f)
+    return payload.get("collator_lengths")
+
+
 def load_preprocessors_artifact(path: Path) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     with Path(path).open() as f:
         payload = json.load(f)
