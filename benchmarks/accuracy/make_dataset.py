@@ -71,7 +71,13 @@ def gen_smiles(n: int, seed: int = 0) -> list:
                                GROUPS + [""], RINGS + [""])
     candidates = ["".join(c) for c in combos]
     rng.shuffle(candidates)
-    for cand in candidates:
+    # The 4-slot grammar tops out ~8k distinct molecules; for larger n add
+    # a fifth slot (chain + group) lazily until the target is reached.
+    deep = itertools.product(CHAINS, GROUPS + RINGS + [""], CHAINS,
+                             GROUPS + [""], RINGS + GROUPS + [""])
+    deep_candidates = ["".join(c) for c in deep]
+    rng.shuffle(deep_candidates)
+    for cand in itertools.chain(candidates, deep_candidates):
         if len(seen) >= n:
             break
         if not cand:
