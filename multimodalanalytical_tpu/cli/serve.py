@@ -288,6 +288,14 @@ def make_handler(engine: InferenceEngine, model_name: str):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # The default accept backlog (5) resets connections under bursts of
+    # concurrent single-record clients — exactly the dynamic-batching
+    # sweet spot. One batch is `batch_size` requests; give bursts room.
+    request_queue_size = 512
+    daemon_threads = True
+
+
 def build_server(config: Dict[str, Any]) -> ThreadingHTTPServer:
     """Construct the engine + HTTP server without entering serve_forever
     (tests drive this directly)."""
@@ -295,7 +303,7 @@ def build_server(config: Dict[str, Any]) -> ThreadingHTTPServer:
     engine = InferenceEngine(config)
     host = serve_cfg.get("host", "127.0.0.1")
     port = int(serve_cfg.get("port", 8000))
-    server = ThreadingHTTPServer(
+    server = _Server(
         (host, port), make_handler(engine, config["model"].get("model_type",
                                                               "CustomModel"))
     )
