@@ -39,6 +39,7 @@ import logging
 import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -189,14 +190,8 @@ class InferenceEngine:
         while True:
             first = self._queue.get()
             group = [first]
-            deadline = None
+            deadline = time.monotonic() + self.max_wait_s
             while len(group) < self.batch_size:
-                if deadline is None:
-                    import time
-
-                    deadline = time.monotonic() + self.max_wait_s
-                import time
-
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
