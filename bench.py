@@ -145,7 +145,11 @@ def main() -> None:
     combined_worst = 1.0 / (1.0 / train_tput + 1.0 / decode_tput)
     combined = 1.0 / (1.0 / train_tput + decode_typical_s / BATCH)
     result = {
-        "metric": "ir_recipe_spectra_per_sec_per_chip",
+        # Renamed from ..._per_chip when the headline switched from
+        # worst-case to like-for-like typical-case decode — a new
+        # metric identity, so cross-round comparisons cannot silently
+        # mix definitions (worst-case numbers stay in detail).
+        "metric": "ir_recipe_spectra_per_sec_per_chip_typical",
         "value": round(combined, 2),
         "unit": "spectra/s (train + typical len-48 beam10 decode, "
                 "batch 128, bf16, vocab 320; like-for-like vs the "

@@ -72,12 +72,17 @@ def gen_smiles(n: int, seed: int = 0) -> list:
     candidates = ["".join(c) for c in combos]
     rng.shuffle(candidates)
     # The 4-slot grammar tops out ~8k distinct molecules; for larger n add
-    # a fifth slot (chain + group) lazily until the target is reached.
-    deep = itertools.product(CHAINS, GROUPS + RINGS + [""], CHAINS,
-                             GROUPS + [""], RINGS + GROUPS + [""])
-    deep_candidates = ["".join(c) for c in deep]
-    rng.shuffle(deep_candidates)
-    for cand in itertools.chain(candidates, deep_candidates):
+    # a fifth slot (chain + group), built only when the first grammar can't
+    # reach the target (small-n fixture generation stays cheap).
+    def _deep_candidates():
+        deep = itertools.product(CHAINS, GROUPS + RINGS + [""], CHAINS,
+                                 GROUPS + [""], RINGS + GROUPS + [""])
+        out = ["".join(c) for c in deep]
+        rng.shuffle(out)
+        return out
+
+    deep_iter = _deep_candidates() if n > len(candidates) else []
+    for cand in itertools.chain(candidates, deep_iter):
         if len(seen) >= n:
             break
         if not cand:

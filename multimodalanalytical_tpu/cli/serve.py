@@ -201,11 +201,17 @@ class InferenceEngine:
                     break
             try:
                 self._run_group(group)
-            except Exception as exc:  # noqa: BLE001 - reported per request
-                logger.exception("Batch failed")
+            except Exception:  # noqa: BLE001 - isolated per request below
+                # One malformed record (wrong spectrum length, bad type)
+                # fails collation for the whole group — retry each record
+                # alone so only the culprits see an error.
+                logger.exception("Batch failed; isolating per record")
                 for pending in group:
-                    pending.error = str(exc)
-                    pending.event.set()
+                    try:
+                        self._run_group([pending])
+                    except Exception as exc:  # noqa: BLE001
+                        pending.error = str(exc)
+                        pending.event.set()
 
     def _run_group(self, group: List[_Pending]) -> None:
         columns: Dict[str, List[Any]] = {}

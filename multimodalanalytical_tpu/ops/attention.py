@@ -253,6 +253,11 @@ class MultiHeadAttention(nn.Module):
             and self.d_model % 128 == 0
             and head_dim % 64 == 0
             and (length * beams) % 64 == 0
+            # The in-kernel append splices fresh rows into a 64-row window
+            # and writes the window back THROUGH bf16 — fine for bf16/int8
+            # caches (identical round-trip), silently lossy for an f32
+            # cache, which stays on the XLA fallback.
+            and (quantized or probe.dtype == jnp.bfloat16)
         )
         if (beams > 1 and kernel_ok and extra_bias is None
                 and self.use_beam_kernel

@@ -328,15 +328,19 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
             mask_h = (
                 (c_kh // head_dim) == (m_kh // slots)
             ).astype(jnp.float32)                            # (H*K', D)
-            # Scale append: f32 lane tiles are 128-wide, so the window is
-            # 128 lanes at a 128-aligned offset (the quantize gate requires
-            # flat % 128 == 0; gate-ineligible small shapes use the whole
-            # flat axis as the window).
+            # Scale append: f32 lane tiles are 128-wide, so the window
+            # start must be 128-aligned — and the window must be WIDER
+            # than the alignment (256 lanes) or a step whose K' fresh
+            # lanes straddle a 128 boundary (e.g. pos*K' = 120..129) falls
+            # partly outside it. Same alignment<width rule as the 64-row
+            # data window above. Small flat_pad (<256) uses the whole
+            # axis (the scale buffer pads flat to a 128 multiple, so the
+            # fresh lanes always fit then).
             flat_pad = scale_ref.shape[-1]
-            swin = min(128, flat_pad)
+            swin = min(256, flat_pad)
             sw0 = pl.multiple_of(
-                jnp.minimum((pos * slots) // swin * swin, flat_pad - swin),
-                swin)
+                jnp.minimum((pos * slots) // 128 * 128, flat_pad - swin),
+                128)
             soff = pos * slots - sw0
             sc_io = jax.lax.broadcasted_iota(jnp.int32, (slots, swin), 1)
             sn_io = jax.lax.broadcasted_iota(jnp.int32, (slots, swin), 0)
@@ -592,7 +596,7 @@ def beam_select_attention_update(
         out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))
         scratch_shapes.extend([
-            pltpu.VMEM((2, rows, num_heads, min(128, flat_pad)),
+            pltpu.VMEM((2, rows, num_heads, min(256, flat_pad)),
                        scales.dtype),
             pltpu.SemaphoreType.DMA,
         ])

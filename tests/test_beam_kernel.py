@@ -188,6 +188,49 @@ def test_update_kernel_matches_store_then_read():
             np.asarray(scale_out), np.asarray(scale_stored), rtol=1e-6)
 
 
+def test_update_kernel_scale_window_crossing():
+    """int8 scale append at flagship beam count where a step's 10 fresh
+    lanes STRADDLE a 128-lane boundary (pos*K = 120..129, 250..259): the
+    scale window must be wider than its 128 alignment or the overhanging
+    lanes silently keep stale scales (regression: round-3 review)."""
+    from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
+    from multimodalanalytical_tpu.ops.beam_attention import (
+        beam_select_attention_update,
+    )
+
+    b, k, h, d, length = 2, 10, 8, 512, 16       # flat 160, scale pad 256
+    key = jax.random.PRNGKey(11)
+    kq, kc, ka, kk, kv_ = jax.random.split(key, 5)
+    q = jax.random.normal(kq, (b, k, d), jnp.bfloat16)
+    cache = jax.random.normal(kc, (2, b, length * k, d), jnp.bfloat16)
+    k_new = jax.random.normal(kk, (b, k, d), jnp.bfloat16)
+    v_new = jax.random.normal(kv_, (b, k, d), jnp.bfloat16)
+    ancestry = jax.random.randint(ka, (b, k, length), 0, k)
+
+    data0, scale_exact = quantize_kv_heads(cache, h)
+    scale0 = jnp.zeros((2, b, h, 256), jnp.float32)
+    scale0 = scale0.at[:, :, :, : length * k].set(
+        scale_exact.transpose(0, 1, 3, 2))
+    k_q, k_s = quantize_kv_heads(k_new, h)
+    v_q, v_s = quantize_kv_heads(v_new, h)
+
+    for position in (12, 15):                    # lanes 120-129, 150-159
+        anc = ancestry.at[:, :, position].set(jnp.arange(k)[None, :])
+        want_scale = scale0.at[
+            :, :, :, position * k : (position + 1) * k
+        ].set(jnp.stack([k_s, v_s]).transpose(0, 1, 3, 2))
+        _, data_out, scale_out = beam_select_attention_update(
+            q.reshape(b * k, d), k_new.reshape(b * k, d),
+            v_new.reshape(b * k, d), data0, anc, position, h, scales=scale0)
+        np.testing.assert_allclose(
+            np.asarray(scale_out), np.asarray(want_scale), rtol=1e-6,
+            err_msg=f"pos {position}")
+        want_data = jax.lax.dynamic_update_slice(
+            data0, jnp.stack([k_q, v_q]), (0, 0, position * k, 0))
+        np.testing.assert_array_equal(
+            np.asarray(data_out), np.asarray(want_data))
+
+
 def _sharpen_lm_head(variables, factor=8.0):
     """Scale the lm_head so random-init logits are well separated — beam
     choices then survive sub-percent numerical perturbations (int8 quant)."""
@@ -250,14 +293,20 @@ def test_kernel_in_full_beam_search():
     from multimodalanalytical_tpu.ops import attention as attn_mod
     from multimodalanalytical_tpu.ops import beam_attention as bk_mod
 
-    model = _flagship(d_model=512, layers=1, ffn=128, vocab=16)
+    # bfloat16: the production cache dtype — f32 caches are gated OFF the
+    # update kernel (the window splice round-trips untouched rows via bf16).
+    model = _flagship(d_model=512, layers=1, ffn=128, vocab=16,
+                      dtype="bfloat16")
     batch = _example_batch(batch=2, target_len=8, vocab=16)
     variables = model.init(
         jax.random.PRNGKey(0), batch["encoder_inputs"], batch["encoder_mask"],
         batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
         deterministic=True,
     )
-    variables = _sharpen_lm_head(variables)
+    # Heavier sharpening than the f32 tests: with a bf16 model both paths
+    # round differently at every matmul, so beam choices need wider margins
+    # to be formulation-invariant.
+    variables = _sharpen_lm_head(variables, factor=32.0)
 
     seqs_xla, scores_xla = beam_search(
         model, variables, batch["encoder_inputs"],
@@ -277,7 +326,12 @@ def test_kernel_in_full_beam_search():
         jax.default_backend = orig
         bk_mod._interpret = lambda: jax.default_backend() == "cpu"
 
-    assert (np.asarray(seqs_xla) == np.asarray(seqs_k)).all()
+    # bf16 end to end: both paths round differently at every matmul, so
+    # low-ranked beams may legitimately swap on a random-init model. The
+    # contract: the TOP beam agrees exactly and all normalized scores
+    # agree to bf16-level tolerance. (Exact full-beam identity is pinned
+    # by the f32 unit tests above and tests/test_beam_golden.py.)
+    assert (np.asarray(seqs_xla[:, 0]) == np.asarray(seqs_k[:, 0])).all()
     np.testing.assert_allclose(
-        np.asarray(scores_xla), np.asarray(scores_k), rtol=1e-3, atol=1e-3
+        np.asarray(scores_xla), np.asarray(scores_k), rtol=2e-2, atol=2e-2
     )

@@ -117,5 +117,31 @@ def test_serve_roundtrip(fixture_dataset, tmp_path):
         )
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(req)
+
+        # A malformed record errors its own request without poisoning the
+        # batch: concurrent good requests still succeed.
+        bad = {"IR": "not-a-spectrum", "Formula": 42}
+        good_out = {}
+
+        def good_client():
+            req2 = urllib.request.Request(
+                f"{base}/predict",
+                data=json.dumps({"records": [record]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req2) as resp2:
+                good_out["results"] = json.loads(resp2.read())["results"]
+
+        good = threading.Thread(target=good_client)
+        good.start()
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"records": [bad]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req)
+        good.join(timeout=60)
+        assert good_out["results"][0]["smiles"] == results[0]["smiles"]
     finally:
         server.shutdown()
