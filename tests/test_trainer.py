@@ -150,3 +150,39 @@ def test_checkpoint_fused_projection_migration():
         cross["kv_proj"]["kernel"][:, 8:],
         old["decoder"]["layer_0"]["cross_attn"]["v_proj"]["kernel"],
     )
+
+
+def test_checkpoint_cadence_rate_limits_improvement_saves(setup, tmp_path):
+    """Improvement saves honor checkpoint_every_n_vals as a rate limit
+    (round-3 review): a steadily improving run saves ~1/N validations, and
+    the saved best lags the true best by at most N-1 validations."""
+    table, config, preps, collator, model = setup
+    trainer = Trainer(model, preps["Smiles"], num_steps=4,
+                      checkpoint_every_n_vals=3)
+
+    saves = []
+
+    class _Ckpts:
+        def save(self, step, tree, metrics):
+            saves.append((step, metrics["val_molecular_accuracy"]))
+
+    # Scripted monotone improvement: every validation improves.
+    accs = iter([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7])
+    trainer.validate = lambda *a, **k: {
+        "val_loss": 0.0, "val_token_acc": 0.0,
+        "val_molecular_accuracy": next(accs),
+    }
+
+    class _State:
+        params = {}
+        opt_state = {}
+
+    best, patience = -float("inf"), 100
+    for step in range(7):
+        stop, best, patience = trainer._run_validation(
+            _State(), None, None, 1.0, _Ckpts(), None, step, step, 100,
+            best, patience,
+        )
+    # val 1 (first improvement), val 3 (cadence), val 4 (improvement,
+    # >=3 after val 1), val 6 (cadence), val 7 (improvement, >=3 after 4).
+    assert [acc for _, acc in saves] == [0.1, 0.3, 0.4, 0.6, 0.7]
