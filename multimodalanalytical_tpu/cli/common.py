@@ -98,17 +98,37 @@ def build_loaders(
     test_idx=None,
 ) -> Dict[str, DataLoader]:
     """``test_idx``: optional path to a .npy int index file selecting test
-    rows (reference datamodules.py:473-491) — replaces the random 10k cap."""
+    rows (reference datamodules.py:473-491) — replaces the random 10k cap.
+
+    Under multi-process execution (jax.process_count() > 1) every loader is
+    row-sharded: each process feeds its contiguous chunk of every global
+    batch (DDP-equivalent; reference trainer/trainer.py:58) and the collator
+    pads to the per-process chunk so the assembled global batch keeps the
+    configured static batch size.
+    """
+    import jax
+
+    num_shards = jax.process_count()
+    shard_index = jax.process_index()
+    if num_shards > 1:
+        if batch_size % num_shards != 0:
+            raise ValueError(
+                f"model.batch_size={batch_size} must be divisible by the "
+                f"process count ({num_shards}) for multi-process training"
+            )
+        collator.pad_to_batch_size = batch_size // num_shards
+    shard_kw = dict(num_shards=num_shards, shard_index=shard_index)
     loaders = {}
     if "train" in dataset_dict:
         loaders["train"] = DataLoader(
             dataset_dict["train"], collator, batch_size,
             shuffle=isinstance(dataset_dict["train"], TableDataset), seed=seed,
+            **shard_kw,
         )
     if "validation" in dataset_dict:
         loaders["validation"] = DataLoader(
             subsample_dataset(dataset_dict["validation"], 10000, seed),
-            collator, batch_size, shuffle=False,
+            collator, batch_size, shuffle=False, **shard_kw,
         )
     if "test" in dataset_dict:
         test_set = dataset_dict["test"]
@@ -120,7 +140,7 @@ def build_loaders(
         else:
             test_set = subsample_dataset(test_set, 10000, seed)
         loaders["test"] = DataLoader(test_set, collator, batch_size,
-                                     shuffle=False)
+                                     shuffle=False, **shard_kw)
     return loaders
 
 

@@ -37,6 +37,11 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "predict.log")
     enable_compilation_cache()
+    from ..parallel.mesh import initialize_multihost
+
+    if initialize_multihost():
+        logger.info("Initialized multi-host JAX (process %s)",
+                    __import__("jax").process_index())
     seed = seed_everything()
 
     model_config: Dict[str, Any] = dict(config["model"])
@@ -123,9 +128,14 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         classes=classes, molecules=config.get("molecules", True), logging=True,
     )
 
-    with (work_dir / f"test_data_logits_beam_{n_beams}.json").open("w") as f:
+    # Per-rank artifacts under multi-process execution (reference DDP
+    # behavior, cli/training.py:230-251).
+    from ..parallel.multihost import rank_suffix
+
+    suffix = rank_suffix()
+    with (work_dir / f"test_data_logits_beam_{n_beams}{suffix}.json").open("w") as f:
         json.dump(predictions, f)
-    metrics_path = work_dir / f"metrics_beam_{n_beams}.json"
+    metrics_path = work_dir / f"metrics_beam_{n_beams}{suffix}.json"
     with metrics_path.open("w") as f:
         json.dump(metrics, f)
     logger.info("Metrics saved to: %s", metrics_path)

@@ -125,12 +125,16 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "checkpoint_monitor", "val_molecular_accuracy") else "max",
     )
 
-    try:
-        import tensorboardX
+    from ..parallel.multihost import is_main, rank_suffix
 
-        metrics_writer = tensorboardX.SummaryWriter(str(work_dir / "tb"))
-    except Exception:  # pragma: no cover - tensorboardX optional
-        metrics_writer = None
+    metrics_writer = None
+    if is_main():
+        try:
+            import tensorboardX
+
+            metrics_writer = tensorboardX.SummaryWriter(str(work_dir / "tb"))
+        except Exception:  # pragma: no cover - tensorboardX optional
+            metrics_writer = None
 
     # Resume (full optimizer state) when a checkpoint path is given without
     # finetuning (reference cli/training.py:165: trainer.fit(ckpt_path=...)).
@@ -187,14 +191,18 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         classes=classes, molecules=config.get("molecules", True), logging=True,
     )
 
-    predictions_path = work_dir / f"test_data_logits_beam_{n_beams}.json"
+    # Per-rank artifacts under multi-process execution (reference DDP writes
+    # per-rank pickles, cli/training.py:230-251); single-process names are
+    # unchanged.
+    suffix = rank_suffix()
+    predictions_path = work_dir / f"test_data_logits_beam_{n_beams}{suffix}.json"
     with predictions_path.open("w") as f:
         json.dump(
             {k: v for k, v in predictions.items() if k != "avg_loss"} |
             {"avg_loss": predictions["avg_loss"]},
             f,
         )
-    metrics_path = work_dir / f"metrics_beam_{n_beams}.json"
+    metrics_path = work_dir / f"metrics_beam_{n_beams}{suffix}.json"
     with metrics_path.open("w") as f:
         json.dump(metrics, f)
     logger.info("Metrics saved to: %s", metrics_path)

@@ -61,7 +61,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put every array leaf with its batch axis sharded over 'data'."""
+    """Batch-axis 'data' sharding for every array leaf.
+
+    Single process: a plain device_put against the global NamedSharding.
+    Multi-process (jax.process_count() > 1): each process holds only its
+    contiguous row-block of the global batch (DataLoader sharding), so the
+    global jax.Array is assembled with host_local_array_to_global_array —
+    leading-axis concat in process order (reference equivalent: DDP's
+    per-rank batches, trainer/trainer.py:58).
+    """
+    if jax.process_count() > 1:
+        from .multihost import to_global
+
+        return to_global(batch, mesh)
     sharding = batch_sharding(mesh)
 
     def put(leaf):

@@ -10,10 +10,12 @@ from __future__ import annotations
 import json
 import logging
 import shutil
+import threading
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
@@ -32,18 +34,41 @@ class CheckpointManager:
         self.monitor = monitor
         self.mode = mode
         self.top_k = top_k
-        self._checkpointer = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # Multi-process runs save from process 0 only (the Trainer gates
+            # on is_main); restrict orbax's barrier set accordingly so the
+            # save never waits on processes that don't call it.
+            self._checkpointer = ocp.Checkpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0},
+                ),
+            )
+        else:
+            self._checkpointer = ocp.StandardCheckpointer()
         self._index_path = self.directory / "index.json"
         self._index: Dict[str, Any] = {"checkpoints": [], "last": None, "best": None}
         if self._index_path.exists():
             self._index = json.loads(self._index_path.read_text())
+        # Async-save machinery: one persistent daemon worker, latest-wins
+        # queue of depth 1. See save_async.
+        self._copy_fn = None
+        self._worker: Optional[threading.Thread] = None
+        self._cond = threading.Condition()
+        self._pending: Optional[Tuple[int, Any, Dict[str, float]]] = None
+        self._busy = False
+        self._async_error: Optional[BaseException] = None
 
     def _save_tree(self, name: str, tree: Any) -> Path:
         path = self.directory / name
         if path.exists():
             shutil.rmtree(path)
         self._checkpointer.save(path, tree)
-        self._checkpointer.wait_until_finished()
+        # StandardCheckpointer exposes wait_until_finished; the plain
+        # Checkpointer (multi-process construction) is synchronous.
+        wait = getattr(self._checkpointer, "wait_until_finished", None)
+        if wait is not None:
+            wait()
         return path
 
     def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
@@ -80,6 +105,80 @@ class CheckpointManager:
                     shutil.copytree(self.directory / best["name"], best_path)
 
         self._index_path.write_text(json.dumps(self._index, indent=1))
+
+    # ----------------------------------------------------------- async save
+    def _device_snapshot(self, tree: Any) -> Any:
+        """On-device copy of every jax.Array leaf (one jitted executable, not
+        per-leaf dispatches). The copy decouples the save from buffer
+        donation: the next train step may donate/invalidate the live state
+        while the background thread is still fetching the snapshot."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        array_idx = [
+            i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)
+        ]
+        if not array_idx:
+            return tree
+        if self._copy_fn is None:
+            # Copies only jax.Array leaves so host-side leaves (e.g. the int
+            # step) keep their types through save/restore.
+            self._copy_fn = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        copies = self._copy_fn([leaves[i] for i in array_idx])
+        for i, copy in zip(array_idx, copies):
+            leaves[i] = copy
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def save_async(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
+        """Asynchronous ``save``: snapshot on device now, move device->host
+        and write to disk on a background thread so training steps proceed
+        while the ~45 s D2H (axon tunnel, ~0.6 GB at flagship scale) is in
+        flight. Queue depth is 1 with latest-wins: if a save is still
+        running when the next is requested, the newest request replaces any
+        queued one (its device snapshot holds the params at request time, so
+        a suppressed intermediate save never publishes stale params as
+        newer). Call ``wait()`` (fit does, at the end) to drain and surface
+        background errors."""
+        snapshot = self._device_snapshot(tree)
+        with self._cond:
+            self._pending = (step, snapshot, metrics)
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._drain_loop, daemon=True,
+                    name="checkpoint-save",
+                )
+                self._worker.start()
+            self._cond.notify_all()
+
+    def _drain_loop(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None:
+                    self._cond.wait()
+                step, snapshot, metrics = self._pending
+                self._pending = None
+                self._busy = True
+            error: Optional[BaseException] = None
+            try:
+                host_tree = jax.device_get(snapshot)
+                self.save(step, host_tree, metrics)
+            except BaseException as exc:  # noqa: BLE001 - re-raised in wait()
+                error = exc
+                logger.exception("Async checkpoint save failed at step %d", step)
+            with self._cond:
+                self._busy = False
+                if error is not None:
+                    self._async_error = error
+                self._cond.notify_all()
+
+    def wait(self) -> None:
+        """Block until all queued async saves are on disk; re-raise the
+        first background error, if any."""
+        with self._cond:
+            while self._pending is not None or self._busy:
+                self._cond.wait()
+            if self._async_error is not None:
+                error = self._async_error
+                self._async_error = None
+                raise error
 
     def restore(self, name: str, template: Any) -> Any:
         path = self.directory / name

@@ -27,7 +27,19 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index``: multi-process row partitioning
+        (reference equivalent: DDP's DistributedSampler). ``batch_size`` is
+        the GLOBAL batch size; under sharding this loader yields the
+        ``shard_index``-th contiguous chunk (``batch_size // num_shards``
+        rows) of every global batch, so the process-order concat of all
+        shards reproduces the single-process batch exactly. Every shard
+        yields the same number of batches (lockstep for collectives); a
+        shard with no real rows in the final partial batch yields a fully
+        masked dummy batch with ``n_valid == 0``. Shuffling must be seeded
+        identically on every process (it is: the config seed)."""
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -35,6 +47,8 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_index = int(shard_index)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -43,8 +57,44 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _shard_bounds(self, global_rows: int) -> tuple:
+        """(offset, size) of this shard's contiguous chunk of a global
+        batch with ``global_rows`` rows; remainder rows go to the lowest
+        shard indices so sizes differ by at most one."""
+        base, rem = divmod(global_rows, self.num_shards)
+        sizes = [base + (1 if p < rem else 0) for p in range(self.num_shards)]
+        return sum(sizes[: self.shard_index]), sizes[self.shard_index]
+
+    def _shard_columns(self, columns: Dict[str, List[Any]]):
+        """Slice a global column batch to this shard. Returns
+        ``(columns, dummy)``: when this shard gets zero rows (final partial
+        batch smaller than num_shards), one dummy row is kept so collation
+        produces a static-shape batch; the consumer masks it out."""
+        if self.num_shards == 1:
+            return columns, False
+        first = next(iter(columns))
+        offset, size = self._shard_bounds(len(columns[first]))
+        if size == 0:
+            return {k: list(v[:1]) for k, v in columns.items()}, True
+        return {k: list(v[offset : offset + size]) for k, v in columns.items()}, False
+
+    @staticmethod
+    def _mask_dummy(batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Turn every row of a collated batch into a pad row (the same
+        semantics the collator's _pad_batch gives trailing dummy rows)."""
+        batch["n_valid"] = 0
+        for key in ("encoder_mask", "decoder_mask"):
+            if key in batch and batch[key] is not None:
+                batch[key] = np.zeros_like(batch[key])
+        if batch.get("labels") is not None:
+            batch["labels"] = np.full_like(batch["labels"], -100)
+        return batch
+
     def _column_batches(self) -> Iterator[Dict[str, List[Any]]]:
         if isinstance(self.dataset, IterableDatasetWithLength):
+            # Streaming: every process consumes the full stream and keeps
+            # its chunk of each global batch (synthesis is host-cheap
+            # relative to the TPU step; keeps shards in lockstep).
             columns: Dict[str, List[Any]] = {}
             count = 0
             for row in self.dataset:
@@ -52,10 +102,10 @@ class DataLoader:
                     columns.setdefault(k, []).append(v)
                 count += 1
                 if count == self.batch_size:
-                    yield columns
+                    yield self._shard_columns(columns)
                     columns, count = {}, 0
             if count and not self.drop_last:
-                yield columns
+                yield self._shard_columns(columns)
             return
 
         assert isinstance(self.dataset, TableDataset)
@@ -69,12 +119,23 @@ class DataLoader:
             batch_idx = indices[start : start + self.batch_size]
             if self.drop_last and len(batch_idx) < self.batch_size:
                 break
-            yield self.dataset.slice_columns(batch_idx)
+            if self.num_shards > 1:
+                offset, size = self._shard_bounds(len(batch_idx))
+                dummy = size == 0
+                local_idx = batch_idx[:1] if dummy else batch_idx[offset : offset + size]
+                yield self.dataset.slice_columns(local_idx), dummy
+            else:
+                yield self.dataset.slice_columns(batch_idx), False
+
+    def _collate(self, item) -> Dict[str, Any]:
+        columns, dummy = item
+        batch = self.collator(columns)
+        return self._mask_dummy(batch) if dummy else batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:
-            for columns in self._column_batches():
-                yield self.collator(columns)
+            for item in self._column_batches():
+                yield self._collate(item)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -96,8 +157,8 @@ class DataLoader:
 
         def producer() -> None:
             try:
-                for columns in self._column_batches():
-                    if not _put(self.collator(columns)):
+                for item in self._column_batches():
+                    if not _put(self._collate(item)):
                         return
             except BaseException as exc:  # noqa: BLE001 - re-raised on consumer
                 error.append(exc)

@@ -31,11 +31,12 @@ import optax
 from flax.training import train_state
 
 from ..data.tokenizer import RegexTokenizer
-from ..evaluation.metrics import calc_sampling_metrics, token_accuracy
+from ..evaluation.metrics import calc_sampling_metrics
 from ..generation.beam_search import beam_search
 from ..models.config import ModelConfig
 from ..models.seq2seq import Seq2SeqModel
 from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.multihost import is_main, local_rows, sum_across_processes
 from .checkpoint import CheckpointManager
 from .loader import DataLoader
 
@@ -249,6 +250,20 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def _multiproc_shardings(self, template):
+        """Under multi-process execution, pin row-leading outputs to
+        P('data') so each process can read back exactly the rows it fed
+        (parallel.multihost.local_rows); scalars stay replicated. Returns
+        None (let GSPMD choose) in the single-process case."""
+        if jax.process_count() == 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.tree_util.tree_map(
+            lambda rows: NamedSharding(self.mesh, P("data") if rows else P()),
+            template,
+        )
+
     def _build_eval_step(self):
         def eval_step(params, batch):
             out = self.model.apply(
@@ -263,6 +278,12 @@ class Trainer:
                     "alignment_loss": out["alignment_loss"],
                     "predicted_ids": predicted}
 
+        shardings = self._multiproc_shardings(
+            {"loss": False, "model_only_loss": False,
+             "alignment_loss": False, "predicted_ids": True}
+        )
+        if shardings is not None:
+            return jax.jit(eval_step, out_shardings=shardings)
         return jax.jit(eval_step)
 
     def decode_fn(self, num_beams: int, max_length: Optional[int] = None):
@@ -274,7 +295,11 @@ class Trainer:
                     self.model, {"params": params}, encoder_inputs,
                     encoder_mask, num_beams=num_beams, max_length=max_length,
                 )
-            self._decode_fns[key] = jax.jit(decode)
+            shardings = self._multiproc_shardings((True, True))
+            if shardings is not None:
+                self._decode_fns[key] = jax.jit(decode, out_shardings=shardings)
+            else:
+                self._decode_fns[key] = jax.jit(decode)
         return self._decode_fns[key]
 
     # ------------------------------------------------------------- fit
@@ -311,7 +336,10 @@ class Trainer:
                      "step": 0},
                 )
                 state = state.replace(
-                    params=restored["params"], opt_state=restored["opt_state"],
+                    params=jax.device_put(
+                        restored["params"], replicated(self.mesh)),
+                    opt_state=jax.device_put(
+                        restored["opt_state"], replicated(self.mesh)),
                     step=restored["step"],
                 )
                 global_step = int(restored["step"])
@@ -388,14 +416,16 @@ class Trainer:
                 )
                 if stop:
                     break
-            elif checkpoints is not None:
-                checkpoints.save(
+            elif checkpoints is not None and is_main():
+                checkpoints.save_async(
                     global_step,
                     {"params": state.params, "opt_state": state.opt_state,
                      "step": global_step},
                     {},
                 )
 
+        if checkpoints is not None:
+            checkpoints.wait()
         return state
 
     def _run_validation(
@@ -420,33 +450,40 @@ class Trainer:
             monitor = -monitor
 
         self._val_count += 1
+        # ``best_monitor`` tracks the running best unconditionally (not only
+        # under early stopping) so "improved" means what it says — without
+        # this, every validation counted as an improvement when
+        # early_stopping_patience was None.
         improved = monitor > best_monitor
+        if improved:
+            best_monitor = monitor
         # Improvement-saves are RATE-LIMITED to the cadence rather than
         # fired every time: on a steadily improving run nearly every
         # validation improves, and each save ships ~0.6 GB of params +
         # optimizer state device->host (~45 s on the axon tunnel, dwarfing
-        # 1-2 s epochs). At N > 1 the saved "best" lags the true best by at
-        # most N-1 validations (still saved under early stopping whenever
-        # patience >= N); the end-of-fit save always runs. N=1 reproduces
-        # the reference's every-epoch cadence exactly.
+        # 1-2 s epochs). Saves are asynchronous (device-side snapshot, D2H +
+        # disk write on a background thread), so the rate limit is policy
+        # (bound tunnel traffic), not protection. At N > 1 the saved "best"
+        # lags the true best by at most N-1 validations (still saved under
+        # early stopping whenever patience >= N); the end-of-fit save always
+        # runs. N=1 reproduces the reference's every-epoch cadence exactly.
         due = self._val_count % self.checkpoint_every_n_vals == 0
         improvement_save = (
             improved
             and self._val_count - self._last_improvement_save
             >= self.checkpoint_every_n_vals
         )
-        if checkpoints is not None and (due or improvement_save):
+        if checkpoints is not None and (due or improvement_save) and is_main():
             if improvement_save:
                 self._last_improvement_save = self._val_count
-            checkpoints.save(
+            checkpoints.save_async(
                 global_step,
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": global_step},
                 val_metrics,
             )
         if early_stopping_patience is not None:
-            if monitor > best_monitor:
-                best_monitor = monitor
+            if improved:
                 patience_left = early_stopping_patience
             else:
                 patience_left -= 1
@@ -460,7 +497,18 @@ class Trainer:
         self, state: TrainState, val_loader: DataLoader, eval_step,
         limit_val_batches: float = 1.0,
     ) -> Dict[str, float]:
-        losses, token_accs, mol_accs, weights = [], [], [], []
+        """Weighted validation metrics (reference wrapper.py:491-525).
+
+        Token/molecular accuracies accumulate exact (correct, total) counts
+        — a decomposition that is identical whether rows live on one process
+        or are spread over many. Under multi-process execution each process
+        scores only the rows it fed (``local_rows``) and the counts are
+        summed across processes at the end, so every process computes the
+        same metrics and takes the same checkpoint/early-stop decisions.
+        """
+        losses: List[float] = []
+        # per-batch local rows: [n_valid, tok_correct, tok_total, mol_correct]
+        stats: List[List[float]] = []
         max_batches = len(val_loader)
         if limit_val_batches < 1.0:
             max_batches = max(1, int(max_batches * limit_val_batches))
@@ -472,37 +520,43 @@ class Trainer:
             device_batch = shard_batch(_device_batch(batch), self.mesh)
             out = eval_step(state.params, device_batch)
             n_valid = batch["n_valid"]
-            weights.append(n_valid)
+            # Global (cross-process) mean loss — identical on all processes.
             losses.append(float(out["loss"]))
-            token_accs.append(token_accuracy(
-                np.asarray(batch["labels"])[:n_valid],
-                np.asarray(out["predicted_ids"])[:n_valid],
-            ))
+            labels = np.asarray(batch["labels"])[:n_valid]
+            predicted = local_rows(out["predicted_ids"])[:n_valid]
+            mask = labels != -100
+            tok_total = int(mask.sum())
+            tok_correct = int(((labels == predicted) & mask).sum())
             seqs, _ = decode(
                 state.params, device_batch["encoder_inputs"],
                 device_batch["encoder_mask"],
             )
             decoded = self.tokenizer.batch_decode(
-                np.asarray(seqs[:n_valid, 0, :]), skip_special_tokens=True
+                local_rows(seqs)[:n_valid, 0, :], skip_special_tokens=True
             )
             scores = calc_sampling_metrics(
                 [[d] for d in decoded],
                 batch["target_strings"][:n_valid],
                 molecules=False,
             )
-            mol_accs.append(scores.get("Top-1", 0.0))
+            mol_correct = int(round(scores.get("Top-1", 0.0) * n_valid))
+            stats.append([n_valid, tok_correct, tok_total, mol_correct])
 
-        # Weight batch metrics by real row counts: the final batch may be
-        # padded with dummy rows (unweighted averaging biased the metric).
-        def wavg(values):
-            if not values:
-                return 0.0
-            return float(np.average(values, weights=weights))
-
+        if not stats:
+            return {"val_loss": 0.0, "val_token_acc": 0.0,
+                    "val_molecular_accuracy": 0.0}
+        totals = sum_across_processes(np.asarray(stats, dtype=np.float64))
+        weights = totals[:, 0]
+        n_rows = weights.sum()
+        val_loss = (
+            float(np.average(losses, weights=weights)) if n_rows else 0.0
+        )
         return {
-            "val_loss": wavg(losses),
-            "val_token_acc": wavg(token_accs),
-            "val_molecular_accuracy": wavg(mol_accs),
+            "val_loss": val_loss,
+            "val_token_acc": float(
+                totals[:, 1].sum() / max(totals[:, 2].sum(), 1.0)),
+            "val_molecular_accuracy": float(
+                totals[:, 3].sum() / max(n_rows, 1.0)),
         }
 
     # ----------------------------------------------------------- predict
@@ -546,11 +600,16 @@ class Trainer:
                             max_length=cfg.max_target_length,
                             logits_hook=guided.hook, hook_init=hook_state,
                         )
-                    self._decode_fns[key] = jax.jit(decode_guided)
+                    shardings = self._multiproc_shardings((True, True))
+                    if shardings is not None:
+                        self._decode_fns[key] = jax.jit(
+                            decode_guided, out_shardings=shardings)
+                    else:
+                        self._decode_fns[key] = jax.jit(decode_guided)
                 seqs, _ = self._decode_fns[key](
                     state.params, device_batch["encoder_inputs"],
                     device_batch["encoder_mask"],
-                    guided.state_for(batch, n_beams),
+                    shard_batch(guided.state_for(batch, n_beams), self.mesh),
                 )
             else:
                 decode = self.decode_fn(num_beams=n_beams)
@@ -558,7 +617,10 @@ class Trainer:
                     state.params, device_batch["encoder_inputs"],
                     device_batch["encoder_mask"],
                 )
-            seqs = np.asarray(seqs)[:n_valid]  # (B, K, L)
+            # Local (this process's) rows only; multi-process runs write
+            # per-rank artifacts like the reference's DDP predict
+            # (reference cli/training.py:230-251).
+            seqs = local_rows(seqs)[:n_valid]  # (B, K, L)
             flat = seqs.reshape(-1, seqs.shape[-1])
             decoded = self.tokenizer.batch_decode(flat, skip_special_tokens=True)
             for i in range(seqs.shape[0]):

@@ -163,7 +163,7 @@ def test_checkpoint_cadence_rate_limits_improvement_saves(setup, tmp_path):
     saves = []
 
     class _Ckpts:
-        def save(self, step, tree, metrics):
+        def save_async(self, step, tree, metrics):
             saves.append((step, metrics["val_molecular_accuracy"]))
 
     # Scripted monotone improvement: every validation improves.
@@ -186,3 +186,66 @@ def test_checkpoint_cadence_rate_limits_improvement_saves(setup, tmp_path):
     # val 1 (first improvement), val 3 (cadence), val 4 (improvement,
     # >=3 after val 1), val 6 (cadence), val 7 (improvement, >=3 after 4).
     assert [acc for _, acc in saves] == [0.1, 0.3, 0.4, 0.6, 0.7]
+
+
+def test_improvement_saves_track_best_without_early_stopping(setup):
+    """VERDICT r1 #9: with early_stopping_patience=None, non-improving
+    validations must NOT count as improvements (best_monitor is tracked
+    unconditionally)."""
+    table, config, preps, collator, model = setup
+    trainer = Trainer(model, preps["Smiles"], num_steps=4,
+                      checkpoint_every_n_vals=2)
+
+    saves = []
+
+    class _Ckpts:
+        def save_async(self, step, tree, metrics):
+            saves.append(metrics["val_molecular_accuracy"])
+
+    # Improves, then degrades twice, then improves past the best.
+    accs = iter([0.5, 0.3, 0.4, 0.6])
+    trainer.validate = lambda *a, **k: {
+        "val_loss": 0.0, "val_token_acc": 0.0,
+        "val_molecular_accuracy": next(accs),
+    }
+
+    class _State:
+        params = {}
+        opt_state = {}
+
+    best, patience = -float("inf"), None
+    for step in range(4):
+        stop, best, patience = trainer._run_validation(
+            _State(), None, None, 1.0, _Ckpts(), None, step, step, None,
+            best, patience,
+        )
+    # val 1: improvement save (0.5); val 2: cadence save (0.3); val 3
+    # (0.4 < best 0.5) must NOT improvement-save — the old bug counted every
+    # validation as improved when patience was None and saved 0.4 here;
+    # val 4: genuine improvement (0.6 > 0.5) plus cadence.
+    assert saves == [0.5, 0.3, 0.6]
+
+
+def test_async_checkpoint_save(tmp_path):
+    """save_async writes the same restorable artifact as save, and wait()
+    drains the background thread; training-side buffers can be mutated
+    immediately after save_async returns (device snapshot decoupling)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodalanalytical_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    tree = {"params": params, "step": 3}
+    mgr.save_async(3, tree, {"val_molecular_accuracy": 0.5})
+    # A second request while the first may still be in flight (latest wins).
+    tree2 = {"params": {"w": jnp.arange(8, dtype=jnp.float32) * 2}, "step": 4}
+    mgr.save_async(4, tree2, {"val_molecular_accuracy": 0.7})
+    mgr.wait()
+    restored = mgr.restore("last", {"params": {"w": np.zeros(8, np.float32)},
+                                    "step": 0})
+    assert int(restored["step"]) == 4
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(8, dtype=np.float32) * 2)
+    # The best/top-k entry for step 4 exists too.
+    assert mgr.best_step == 4
