@@ -87,6 +87,7 @@ def beam_search(
     quantize = (
         getattr(cfg, "kv_cache_dtype", "bfloat16") == "int8"
         and num_beams >= 4
+        and num_beams <= 32
         and cfg.d_model % 128 == 0
         and head_dim % 64 == 0
         and (max_length * num_beams) % 64 == 0
@@ -106,12 +107,28 @@ def beam_search(
     encoder_hidden = model.apply(
         variables, encoder_inputs, encoder_mask, method=Seq2SeqModel.encode
     )
+    # bf16 models: pre-cast the >=2D weights (matmul kernels, embeddings)
+    # to bf16 ONCE outside the decode loop. Flax Dense(dtype=bf16) casts
+    # per use anyway, so per-step results are identical — but the in-loop
+    # casts re-read the f32 master weights every step (~0.19 GB/step at
+    # flagship scale, the largest convert fusions in the round-4 decode
+    # trace). 1D leaves (LayerNorm scales/biases) stay f32: norms run f32.
+    if model.config.compute_dtype == jnp.bfloat16:
+        loop_variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if (hasattr(x, "dtype") and x.dtype == jnp.float32
+                and getattr(x, "ndim", 0) >= 2)
+            else x,
+            variables,
+        )
+    else:
+        loop_variables = variables
     cache = model.apply(
-        variables, batch, num_beams, bounds[0], encoder_hidden,
+        loop_variables, batch, num_beams, bounds[0], encoder_hidden,
         quantize, method=Seq2SeqModel.init_beam_cache,
     )
     decode_step = functools.partial(
-        model.apply, variables, method=Seq2SeqModel.beam_decode_step
+        model.apply, loop_variables, method=Seq2SeqModel.beam_decode_step
     )
 
     live_seqs = jnp.full((batch, num_beams, max_length), pad, dtype=jnp.int32)

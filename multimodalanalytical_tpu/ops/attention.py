@@ -250,6 +250,10 @@ class MultiHeadAttention(nn.Module):
         # a lane-sized flat slot axis; tiny test models fall back to XLA.
         kernel_ok = (
             beams >= 4
+            # The append window is 2x64 rows aligned to 64: a fresh-row
+            # span of `beams` rows starting anywhere fits only for
+            # beams <= 65; bound at 32 (ADVICE r1) with margin.
+            and beams <= 32
             and self.d_model % 128 == 0
             and head_dim % 64 == 0
             and (length * beams) % 64 == 0
@@ -268,10 +272,36 @@ class MultiHeadAttention(nn.Module):
             from .beam_attention import beam_select_attention_update
 
             if quantized:
+                # Quantize the fresh rows HERE (fuses with the kv projection
+                # epilogue) and hand the kernel pre-quantized rows plus two
+                # lane-padded scale operands: the in-kernel quantize path
+                # (absmax + round + rep2 stacking per layer per step) cost
+                # ~0.5 ms/step of VPU/MXU work that is cache-length
+                # independent and dominated the staged average.
+                H = self.num_heads
+                k_q, k_s = quantize_kv_heads(k_new, H)  # (B*K, D), (B*K, H)
+                v_q, v_s = quantize_kv_heads(v_new, H)
+                kh = beams * H
+
+                pad_kh = -(-kh // 128) * 128
+
+                def _scale_ops(s):  # (B*K, H) -> h-major + row-stacked
+                    s_bkh = s.reshape(batch, beams, H)
+                    hk = jnp.transpose(s_bkh, (0, 2, 1))     # (B, H, K')
+                    hk = jnp.pad(hk, ((0, 0), (0, 0), (0, 128 - beams)))
+                    # Row-stacked order m = n*H + h for the self terms.
+                    sel = s_bkh.reshape(batch, kh)           # (B, K*H)
+                    sel = jnp.pad(sel, ((0, 0), (0, pad_kh - kh)))
+                    return hk, sel
+
+                k_hk, k_sel = _scale_ops(k_s)
+                v_hk, v_sel = _scale_ops(v_s)
                 out, data, scale = beam_select_attention_update(
-                    q_flat.astype(jnp.bfloat16), k_new, v_new,
-                    cache_kv["data"], ancestry, position, self.num_heads,
+                    q_flat.astype(jnp.bfloat16), k_q, v_q,
+                    cache_kv["data"], ancestry, position, H,
                     scales=cache_kv["scale"],
+                    fresh_scales=jnp.stack([k_hk, v_hk]),
+                    fresh_row_scales=jnp.stack([k_sel, v_sel]),
                 )
                 out = out.astype(x.dtype)
                 return self.out_proj(out), {"data": data, "scale": scale}

@@ -88,13 +88,17 @@ def _kernel_upd(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
 
 
 def _kernel_upd_q8(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
-                   scale_ref, out_ref, cache_out_ref, scale_out_ref,
-                   stage_ref, sem, sstage_ref, ssem, *,
+                   scale_ref, sc_hk_ref, s_sel_ref, out_ref, cache_out_ref,
+                   scale_out_ref, stage_ref, sem, sstage_ref, ssem, *,
                    num_heads: int, slots: int):
-    """Fused attention + quantize + cache append (int8 cache)."""
+    """int8-cache append: kn/vn arrive PRE-quantized (int8) with their
+    scales in two lane-padded operands (h-major for the scale buffer,
+    row-stacked for the self terms) — quantization happens XLA-side, fused
+    with the kv projection."""
     _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref,
                  num_heads=num_heads, slots=slots,
                  kn_ref=kn_ref, vn_ref=vn_ref,
+                 sc_hk_ref=sc_hk_ref, s_sel_ref=s_sel_ref,
                  cache_out_ref=cache_out_ref, scale_out_ref=scale_out_ref,
                  stage_ref=stage_ref, sem=sem,
                  sstage_ref=sstage_ref, ssem=ssem, flat_io=True)
@@ -102,6 +106,7 @@ def _kernel_upd_q8(pos_ref, q_ref, kn_ref, vn_ref, onehot_ref, cache_ref,
 
 def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
                  num_heads: int, slots: int, kn_ref=None, vn_ref=None,
+                 sc_hk_ref=None, s_sel_ref=None,
                  cache_out_ref=None, scale_out_ref=None,
                  stage_ref=None, sem=None, sstage_ref=None, ssem=None,
                  flat_io: bool = False):
@@ -159,24 +164,16 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     kh = beams * num_heads
     scale = head_dim ** -0.5
 
-    # Constant time-grouping matrix: S[f, l] = 1 iff f // K' == l.
-    f_iota = jax.lax.broadcasted_iota(jnp.int32, (flat, length), 0)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (flat, length), 1)
-    group = (f_iota // slots) == l_iota                      # (L*K', L)
-
     # Block-diagonal head mask: (H, D), mask[h, c] = 1 iff c // Dh == h.
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (num_heads, d_model), 1)
     head_mask = (c_iota // head_dim) == h_iota
 
-    # Valid positions from the CACHE: l <= pos (l < pos in update mode —
-    # the pos rows in the block are stale; the fresh-row term is added
-    # separately below).
-    l_pos = jax.lax.broadcasted_iota(jnp.int32, (rows, kh, length), 2)
-    valid = (l_pos < pos) if update else (l_pos <= pos)
-
-    group_f32 = group.astype(jnp.float32)
-    group_bf16 = group.astype(jnp.bfloat16)
+    # Flat-slot validity: slot f holds time l = f // K'. Cache rows
+    # participate for l <= pos (l < pos in update mode — the pos rows in
+    # the block are stale; the fresh-row term is added separately below).
+    fl_iota = jax.lax.broadcasted_iota(jnp.int32, (kh, flat), 1) // slots
+    f_valid = (fl_iota < pos) if update else (fl_iota <= pos)  # (K*H, L*K')
 
     def bdot(lhs, rhs, contract_lhs, contract_rhs, batched: bool):
         dims = (((contract_lhs,), (contract_rhs,)),
@@ -201,16 +198,14 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         (q * scale).astype(jnp.bfloat16)[:, :, None, :]
         * head_mask[None, None].astype(jnp.bfloat16)
     ).reshape(rows, kh, d_model)                             # (G, K*H, D)
-    # onehot_kh[g, n*H+h, f] = onehot[g, n, f] for every h. In update mode
-    # mask out flat columns at l >= pos once here — qk select and pw spread
-    # must both ignore the stale pos rows (logits are where-masked anyway).
+    # onehot_kh[g, n*H+h, f] = onehot[g, n, f] for every h. Combined with
+    # f_valid it is the full flat-slot attention mask: softmax runs directly
+    # over the FLAT slot axis (each time group has exactly one ancestor
+    # slot, so flat softmax == per-time softmax of the selected logits) —
+    # this removed the f32 select matmul and the bf16 spread matmul that
+    # made the kernel MXU-bound (round-3 profile: int8 saved nothing).
     onehot_kh_f32 = bdot(rep_b, onehot, 2, 1, batched=True)  # (G, K*H, L*K')
-    if update:
-        f_lt = (
-            jax.lax.broadcasted_iota(jnp.int32, (kh, flat), 1) // slots < pos
-        )
-        onehot_kh_f32 = onehot_kh_f32 * f_lt[None].astype(jnp.float32)
-    onehot_kh = onehot_kh_f32.astype(jnp.bfloat16)
+    slot_mask = (onehot_kh_f32 > 0.5) & f_valid[None]        # (G, K*H, L*K')
 
     # ---- fresh-row (l == pos) term + cache append --------------------
     # The append rides a manual DMA into the ANY-space aliased cache ref.
@@ -222,6 +217,7 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     # copy overlaps the attention matmuls below; waits land at the end.
     self_k = self_v = None
     pending_copies = []
+    deferred_appends = []
     if update:
         i_prog = pl.program_id(0)
         k_new = kn_ref[...]                                  # (G, K, D)
@@ -229,33 +225,93 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         if flat_io:
             k_new = k_new.reshape(rows, beams, d_model)
             v_new = v_new.reshape(rows, beams, d_model)
+        # Window geometry: W rows aligned to W/2 (alignment strictly finer
+        # than the width so a fresh-row span straddling an alignment
+        # boundary always fits: off <= W/2 - 1, off + slots <= W for
+        # slots <= W/2 + 1 — the host picks W accordingly, see
+        # beam_select_attention_update).
+        w_rows = stage_ref.shape[2]
+        half = w_rows // 2
         w0 = pl.multiple_of(
-            jnp.minimum((pos * slots) // 32 * 32, flat - 64), 32)
-        off = pos * slots - w0                               # in [0, 54]
-        r_io = jax.lax.broadcasted_iota(jnp.int32, (64, slots), 0)
-        n_io = jax.lax.broadcasted_iota(jnp.int32, (64, slots), 1)
+            jnp.minimum((pos * slots) // half * half, flat - w_rows), half)
+        off = pos * slots - w0
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (w_rows, slots), 0)
+        n_io = jax.lax.broadcasted_iota(jnp.int32, (w_rows, slots), 1)
         perm_w = jnp.broadcast_to(
             (r_io == off + n_io).astype(jnp.float32)[None],
-            (rows, 64, slots),
-        )                                                    # (G, 64, K')
-        rd_io = jax.lax.broadcasted_iota(jnp.int32, (64, d_model), 0)
-        in_win = (rd_io >= off) & (rd_io < off + slots)      # (64, D)
-        # Window extraction as a selector matmul — dynamic-offset sublane
-        # loads from VMEM refs don't lower, constant-matrix matmuls always
-        # do (and cost ~10 MXU tiles).
-        wr_io = jax.lax.broadcasted_iota(jnp.int32, (64, flat), 0)
-        wf_io = jax.lax.broadcasted_iota(jnp.int32, (64, flat), 1)
-        wsel_b = jnp.broadcast_to(
-            (wf_io == w0 + wr_io).astype(jnp.bfloat16)[None],
-            (rows, 64, flat),
-        )                                                    # (G, 64, L*K')
+            (rows, w_rows, slots),
+        )                                                    # (G, W, K')
+        rd_io = jax.lax.broadcasted_iota(jnp.int32, (w_rows, d_model), 0)
+        in_win = (rd_io >= off) & (rd_io < off + slots)      # (W, D)
 
-        def _splice(store, new_rows):
-            win_old = bdot(wsel_b, store.astype(jnp.bfloat16), 2, 1,
-                           batched=True)                     # (G, 64, D) f32
-            spread = bdot(perm_w, new_rows.astype(jnp.float32), 2, 1,
-                          batched=True)                      # (G, 64, D)
-            return jnp.where(in_win[None], spread, win_old)
+        def _queue_append_dma(k_store, v_store):
+            """int8 path: read the current window rows straight from the
+            in-place aliased cache output ref, splice, write home. The
+            matmul extraction this replaces had to dequantize the whole
+            int8 block to bf16 a second time; the window DMA is ~0.03 MB
+            and overlaps the attention matmuls (wait + splice + write-back
+            land after the output is computed). Measured on v5e: update
+            kernel 3.03 -> 2.45 ms/step at flagship shapes."""
+            read_copy = pltpu.make_async_copy(
+                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
+                                 pl.ds(w0, w_rows), :],
+                stage_ref, sem,
+            )
+            read_copy.start()
+
+            def _finish():
+                read_copy.wait()
+                for idx, x_store in ((0, k_store), (1, v_store)):
+                    spread = bdot(perm_w, x_store.astype(jnp.float32), 2, 1,
+                                  batched=True)              # (G, W, D)
+                    if stage_ref.dtype == jnp.int8:
+                        fresh = jnp.round(spread).astype(jnp.int8)
+                    else:
+                        fresh = spread.astype(stage_ref.dtype)
+                    stage_ref[idx] = jnp.where(
+                        in_win[None], fresh, stage_ref[idx])
+                write_copy = pltpu.make_async_copy(
+                    stage_ref,
+                    cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
+                                     pl.ds(w0, w_rows), :],
+                    sem,
+                )
+                write_copy.start()
+                pending_copies.append(write_copy)
+            deferred_appends.append(_finish)
+
+        def _append_inline(k_store, v_store):
+            """bf16 path: extract the window from the already-loaded block
+            with a selector matmul and start the write DMA immediately so
+            it overlaps the attention matmuls (the deferred DMA-read
+            variant serializes wait+splice+write at program end, which
+            measured SLOWER for bf16 — 3.03 -> 3.21 ms/step — because the
+            bf16 grid runs 2x the programs of int8; the extraction matmul
+            reads VMEM already paid for)."""
+            wr_io = jax.lax.broadcasted_iota(jnp.int32, (w_rows, flat), 0)
+            wf_io = jax.lax.broadcasted_iota(jnp.int32, (w_rows, flat), 1)
+            wsel_b = jnp.broadcast_to(
+                (wf_io == w0 + wr_io).astype(jnp.bfloat16)[None],
+                (rows, w_rows, flat),
+            )                                                # (G, W, L*K')
+
+            def _splice(store, new_rows):
+                win_old = bdot(wsel_b, store.astype(jnp.bfloat16), 2, 1,
+                               batched=True)                 # (G, W, D) f32
+                spread = bdot(perm_w, new_rows.astype(jnp.float32), 2, 1,
+                              batched=True)                  # (G, W, D)
+                return jnp.where(in_win[None], spread, win_old)
+
+            stage_ref[0] = _splice(k_t, k_store).astype(stage_ref.dtype)
+            stage_ref[1] = _splice(v_t, v_store).astype(stage_ref.dtype)
+            copy = pltpu.make_async_copy(
+                stage_ref,
+                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
+                                 pl.ds(w0, w_rows), :],
+                sem,
+            )
+            copy.start()
+            pending_copies.append(copy)
 
         # n-major (beam-major) replication: row n*H+h = x[n].
         k_new_rep = bdot(rep_b, k_new.astype(jnp.bfloat16), 2, 1,
@@ -266,68 +322,23 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
             # bf16 storage: the self term reads what will be stored.
             self_k = k_new_rep.astype(jnp.bfloat16).astype(jnp.float32)
             self_v = v_new_rep.astype(jnp.bfloat16).astype(jnp.float32)
-            stage_ref[0] = _splice(k_t, k_new).astype(stage_ref.dtype)
-            stage_ref[1] = _splice(v_t, v_new).astype(stage_ref.dtype)
-            copy = pltpu.make_async_copy(
-                stage_ref,
-                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
-                                 pl.ds(w0, 64), :],
-                sem,
-            )
-            copy.start()
-            pending_copies.append(copy)
+            _append_inline(k_new, v_new)
         else:
             # Per-(row, head) symmetric int8 — same formulas as the XLA
             # quantize_kv_heads (ops/attention.py) so results match the
             # store-then-read path exactly.
-            c_kh = jax.lax.broadcasted_iota(jnp.int32, (kh, d_model), 1)
-            m_kh = jax.lax.broadcasted_iota(jnp.int32, (kh, d_model), 0)
-            mask_n = (c_kh // head_dim) == (m_kh % num_heads)  # (K*H, D)
-            def _quant(x_rep, x_new):
-                a = jnp.max(jnp.abs(x_rep) * mask_n[None].astype(jnp.float32),
-                            axis=-1)                         # (G, K*H)
-                s_vec = jnp.maximum(a, 1e-8) / 127.0
-                x_qdq = (
-                    jnp.clip(jnp.round(x_rep / s_vec[:, :, None]), -127, 127)
-                    * s_vec[:, :, None]
-                )                                            # (G, K*H, D) f32
-                # Channel-expanded scale for the int8 rows: s_kd[g, n, c] =
-                # s_vec[g, n*H + c // Dh] (tiny constant matmul, no lane
-                # reshape).
-                s_kd = bdot(
-                    s_vec.reshape(rows, beams, num_heads),
-                    head_mask.astype(jnp.float32), 2, 0, batched=False,
-                )                                            # (G, K, D)
-                x_q = jnp.clip(
-                    jnp.round(x_new.astype(jnp.float32) / s_kd), -127, 127
-                ).astype(jnp.int8)
-                return x_qdq, x_q
-            self_k, k_q = _quant(k_new_rep, k_new)
-            self_v, v_q = _quant(v_new_rep, v_new)
-            stage_ref[0] = _splice(k_t, k_q).astype(stage_ref.dtype)
-            stage_ref[1] = _splice(v_t, v_q).astype(stage_ref.dtype)
-            copy = pltpu.make_async_copy(
-                stage_ref,
-                cache_out_ref.at[:, pl.ds(i_prog * rows, rows),
-                                 pl.ds(w0, 64), :],
-                sem,
-            )
-            copy.start()
-            pending_copies.append(copy)
-            # h-major scales for the (2, B, H, L*K') storage layout: row
-            # m = h*K'+n of the rep2 stack is x[n] masked to head h, so the
-            # (G, H*K') absmax vector reshapes to (G, H, K') for free (a
-            # (K, H) sublane transpose is NOT free in Mosaic; recomputing
-            # the reduce on the transposed stacking is).
-            m2 = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 0)
-            n2 = jax.lax.broadcasted_iota(jnp.int32, (kh, beams), 1)
-            rep2_b = jnp.broadcast_to(
-                (m2 % slots == n2).astype(jnp.bfloat16)[None],
-                (rows, kh, beams),
-            )
-            mask_h = (
-                (c_kh // head_dim) == (m_kh // slots)
-            ).astype(jnp.float32)                            # (H*K', D)
+            # Fresh rows arrive PRE-quantized (int8) with scales in two
+            # lane-padded operands — quantization moved XLA-side where it
+            # fuses with the kv projection (the in-kernel absmax/round/rep2
+            # stacking was ~cache-length-independent work that dominated
+            # the staged average). int8 values are exact in bf16, so the
+            # replicated rows times the row scale reproduce the
+            # quantize-dequantize values bit-for-bit.
+            s_sel_k = s_sel_ref[0][:, :kh].astype(jnp.float32)  # (G, K*H)
+            s_sel_v = s_sel_ref[1][:, :kh].astype(jnp.float32)
+            self_k = k_new_rep * s_sel_k[:, :, None]         # (G, K*H, D)
+            self_v = v_new_rep * s_sel_v[:, :, None]
+            _queue_append_dma(k_new, v_new)
             # Scale append: f32 lane tiles are 128-wide, so the window
             # start must be 128-aligned — and the window must be WIDER
             # than the alignment (256 lanes) or a step whose K' fresh
@@ -354,13 +365,8 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
             sc2_io = jax.lax.broadcasted_iota(
                 jnp.int32, (flat_pad, swin), 1)
             wsel_l = (sf_io == sw0 + sc2_io).astype(jnp.float32)
-            for idx, x_new in ((0, k_new), (1, v_new)):
-                x_rep2 = bdot(rep2_b, x_new.astype(jnp.bfloat16), 2, 1,
-                              batched=True)
-                a2 = jnp.max(jnp.abs(x_rep2) * mask_h[None], axis=-1)
-                s_hk = (
-                    jnp.maximum(a2, 1e-8) / 127.0
-                ).reshape(rows, num_heads, beams)            # (G, H, K')
+            for idx in (0, 1):
+                s_hk = sc_hk_ref[idx][:, :, :slots].astype(jnp.float32)
                 spread = bdot(s_hk, perm_s, 2, 0, batched=False)
                 old_win = bdot(scale_ref[idx], wsel_l, 2, 0, batched=False)
                 sstage_ref[idx] = jnp.where(s_in_win[None], spread, old_win)
@@ -389,36 +395,42 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
         # scale buffer's flat axis may carry 128-alignment padding).
         qk = qk * bdot(sel_b, scale_ref[0][..., :flat], 2, 1, batched=True)
 
-    # Ancestor select + per-timestep reduce, all heads at once.
-    logits = bdot(qk * onehot_kh_f32, group_f32, 2, 0, batched=False)
-    logits = jnp.where(valid, logits, NEG_INF)               # (G, K*H, L)
+    # Flat-slot softmax: non-ancestor / out-of-range slots -> -inf; the
+    # surviving slot per time group carries exactly the selected logit.
+    logits = jnp.where(slot_mask, qk, NEG_INF)               # (G, K*H, L*K')
     if update:
-        # l == pos: each beam attends its own freshly written row.
+        # Each beam attends its own freshly written row at flat slot
+        # pos*K' + n (row m = n*H + h of the stack).
         self_logit = jnp.sum(
             q_bd.astype(jnp.float32) * self_k, axis=-1, keepdims=True
         )                                                    # (G, K*H, 1)
-        logits = jnp.where(l_pos == pos, self_logit, logits)
+        f_io = jax.lax.broadcasted_iota(jnp.int32, (kh, flat), 1)
+        m_io = jax.lax.broadcasted_iota(jnp.int32, (kh, flat), 0)
+        self_slot = f_io == pos * slots + m_io // num_heads  # (K*H, L*K')
+        logits = jnp.where(self_slot[None], self_logit, logits)
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits - row_max)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)   # (G, K*H, L*K')
 
-    # Spread per-timestep probs back over slots, all heads at once.
-    pw = bdot(probs.astype(jnp.bfloat16), group_bf16, 2, 1, batched=False)
+    pw = probs
     if scale_ref is not None:
         # Fold the v dequant scale of head h into row (n, h): only that
         # row's head-h output slice is kept, so scaling the whole row by
         # s_v[h] dequantizes exactly the slice that survives.
         pw = pw * bdot(sel_b, scale_ref[1][..., :flat], 2, 1, batched=True)
-    pw = pw.astype(jnp.bfloat16) * onehot_kh
+    if update:
+        # Zero the fresh-row slots for the cache V matmul (their rows in
+        # the block are stale); the fresh contribution is added below.
+        pw = pw * f_valid[None].astype(jnp.float32)
 
     v_bf = v_t.astype(jnp.bfloat16)
-    out_bd = bdot(pw, v_bf, 2, 1, batched=True)              # (G, K*H, D)
+    out_bd = bdot(pw.astype(jnp.bfloat16), v_bf, 2, 1, batched=True)
     if update:
         p_pos = jnp.sum(
-            probs * (l_pos == pos).astype(jnp.float32), axis=-1,
+            probs * self_slot[None].astype(jnp.float32), axis=-1,
             keepdims=True,
         )                                                    # (G, K*H, 1)
-        out_bd = out_bd + p_pos * self_v
+        out_bd = out_bd + p_pos * self_v                     # (G, K*H, D)
     out = jnp.sum(
         out_bd.reshape(rows, beams, num_heads, d_model)
         * head_mask[None, None].astype(jnp.float32),
@@ -427,6 +439,8 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
     if flat_io:
         out = out.reshape(rows * beams, d_model)
     out_ref[...] = out.astype(out_ref.dtype)
+    for fn in deferred_appends:
+        fn()
     for c in pending_copies:
         c.wait()
 
@@ -525,19 +539,23 @@ def beam_cross_attention(
 
 def beam_select_attention_update(
     q: jnp.ndarray,          # (B*K, D) FLAT queries
-    k_new: jnp.ndarray,      # (B*K, D) this step's K rows (pre-store)
-    v_new: jnp.ndarray,      # (B*K, D) this step's V rows (FLAT)
+    k_new: jnp.ndarray,      # (B*K, D) this step's K rows (pre-store;
+    v_new: jnp.ndarray,      #   int8 pre-quantized when `scales` is given)
     cache: jnp.ndarray,      # (2, B, L*K, D); rows at `position` STALE
     ancestry: jnp.ndarray,   # (B, K, L) int32
     position,                # scalar int32 step index
     num_heads: int,
     scales: jnp.ndarray = None,  # (2, B, H, >=L*K) fp32 when cache is int8
+    fresh_scales: jnp.ndarray = None,      # (2, B, H, 128) h-major, lane-pad
+    fresh_row_scales: jnp.ndarray = None,  # (2, B, >=K*H) row-stacked, pad
 ):
-    """Fused attention + in-place cache append (+ int8 quantize).
+    """Fused attention + in-place cache append.
 
     q/k_new/v_new arrive FLAT (B*K, D) and out returns flat — 2D keeps the
     XLA-side projection layouts on clean (8,128) tiles (3D (B, 10, D)
-    operands force relayout copies at the kernel boundary).
+    operands force relayout copies at the kernel boundary). int8 caches take
+    PRE-quantized fresh rows plus their scales in two lane-padded layouts
+    (quantization fuses with the kv projection XLA-side).
 
     Returns (out (B*K, D), cache', scales' | None) with cache'/scales'
     aliased in-place (donated) — the new rows land at flat offset
@@ -579,8 +597,18 @@ def beam_select_attention_update(
         jax.ShapeDtypeStruct((batch * beams, d_model), q.dtype),
         jax.ShapeDtypeStruct(cache.shape, cache.dtype),
     ]
+    # Append-window size: W = 2 x half with half the smallest multiple of
+    # the dtype's sublane tile (16 bf16 / 32 int8) satisfying
+    # beams <= half + 1, so any fresh-row span fits a half-aligned W-row
+    # window; W is kept minimal because the window is DMA'd back AND forth
+    # every call (read-splice-write).
+    tile = 32 if cache.dtype == jnp.int8 else 16
+    half = tile
+    while half + 1 < beams:
+        half += tile
+    w_rows = min(2 * half, flat)
     scratch_shapes = [
-        pltpu.VMEM((2, rows, 64, d_model), cache.dtype),
+        pltpu.VMEM((2, rows, w_rows, d_model), cache.dtype),
         pltpu.SemaphoreType.DMA,
     ]
     operands = [pos, q, k_new, v_new, onehot, cache]
@@ -588,11 +616,18 @@ def beam_select_attention_update(
     aliases = {5: 1}
     kernel = _kernel_upd
     if scales is not None:
-        flat_pad = scales.shape[-1]
-        in_specs.append(
-            pl.BlockSpec((2, rows, num_heads, flat_pad),
-                         lambda i, pos: (0, i, 0, 0))
+        assert fresh_scales is not None and fresh_row_scales is not None, (
+            "int8 cache append needs pre-quantized rows + scale operands"
         )
+        flat_pad = scales.shape[-1]
+        in_specs.extend([
+            pl.BlockSpec((2, rows, num_heads, flat_pad),
+                         lambda i, pos: (0, i, 0, 0)),
+            pl.BlockSpec((2, rows) + fresh_scales.shape[2:],
+                         lambda i, pos: (0, i, 0, 0)),
+            pl.BlockSpec((2, rows, fresh_row_scales.shape[-1]),
+                         lambda i, pos: (0, i, 0)),
+        ])
         out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))
         scratch_shapes.extend([
@@ -600,7 +635,7 @@ def beam_select_attention_update(
                        scales.dtype),
             pltpu.SemaphoreType.DMA,
         ])
-        operands.append(scales)
+        operands.extend([scales, fresh_scales, fresh_row_scales])
         aliases[6] = 2
         kernel = _kernel_upd_q8
 

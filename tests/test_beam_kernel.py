@@ -132,6 +132,28 @@ def test_quantize_roundtrip_error_bound():
     assert (np.abs(deq - x_np) <= bound).all()
 
 
+def _fresh_ops(k_new, v_new, h):
+    """Pre-quantized fresh rows + lane-padded scale operands, mirroring how
+    ops/attention.py builds them for the int8 update kernel."""
+    from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
+
+    b, k, d = k_new.shape
+    kh = k * h
+    pad_kh = -(-kh // 128) * 128
+
+    def one(x):
+        xq, s = quantize_kv_heads(x.reshape(b * k, d), h)
+        s_bkh = s.reshape(b, k, h)
+        hk = jnp.pad(jnp.transpose(s_bkh, (0, 2, 1)),
+                     ((0, 0), (0, 0), (0, 128 - k)))
+        sel = jnp.pad(s_bkh.reshape(b, kh), ((0, 0), (0, pad_kh - kh)))
+        return xq, hk, sel
+
+    k_q, k_hk, k_sel = one(k_new)
+    v_q, v_hk, v_sel = one(v_new)
+    return (k_q, v_q, jnp.stack([k_hk, v_hk]), jnp.stack([k_sel, v_sel]))
+
+
 def test_update_kernel_matches_store_then_read():
     """Fused attention+append kernel vs DUS-then-read, bf16 and int8."""
     from multimodalanalytical_tpu.ops.attention import quantize_kv_heads
@@ -176,9 +198,10 @@ def test_update_kernel_matches_store_then_read():
         want = np.asarray(
             beam_select_attention(q, data_stored, anc, position, H,
                                   scales=scale_stored), np.float32)
+        k_qf, v_qf, hk2, sel2 = _fresh_ops(k_new, v_new, H)
         got, data_out, scale_out = beam_select_attention_update(
-            q.reshape(B * K, D), k_new.reshape(B * K, D),
-            v_new.reshape(B * K, D), data0, anc, position, H, scales=scale0)
+            q.reshape(B * K, D), k_qf, v_qf, data0, anc, position, H,
+            scales=scale0, fresh_scales=hk2, fresh_row_scales=sel2)
         got = got.reshape(B, K, D)
         assert np.abs(np.asarray(got, np.float32) - want).max() < 2e-2, (
             f"int8 pos {position}")
@@ -219,9 +242,10 @@ def test_update_kernel_scale_window_crossing():
         want_scale = scale0.at[
             :, :, :, position * k : (position + 1) * k
         ].set(jnp.stack([k_s, v_s]).transpose(0, 1, 3, 2))
+        k_qf, v_qf, hk2, sel2 = _fresh_ops(k_new, v_new, h)
         _, data_out, scale_out = beam_select_attention_update(
-            q.reshape(b * k, d), k_new.reshape(b * k, d),
-            v_new.reshape(b * k, d), data0, anc, position, h, scales=scale0)
+            q.reshape(b * k, d), k_qf, v_qf, data0, anc, position, h,
+            scales=scale0, fresh_scales=hk2, fresh_row_scales=sel2)
         np.testing.assert_allclose(
             np.asarray(scale_out), np.asarray(want_scale), rtol=1e-6,
             err_msg=f"pos {position}")
