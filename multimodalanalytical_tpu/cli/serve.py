@@ -180,6 +180,19 @@ class InferenceEngine:
         record[self.target_modality] = ""
         return self.collator({k: [v] for k, v in record.items()})
 
+    def validate_record(self, record: Dict[str, Any]) -> None:
+        """Collate the record alone on the CPU (cheap — no decode) so
+        malformed inputs are rejected with 400 at intake instead of failing
+        whole-batch collation later: the per-record isolation fallback
+        re-runs a FULL padded-batch decode per group member, so a client
+        repeatedly posting one bad record alongside real load could keep
+        the single worker saturated (advice r1). Raises on bad input."""
+        columns = {
+            col: [record.get(col, "" if col == self.target_modality else None)]
+            for col in self.input_columns + [self.target_modality]
+        }
+        self.collator(columns)
+
     def submit(self, record: Dict[str, Any]) -> _Pending:
         pending = _Pending(record)
         self._queue.put(pending)
@@ -273,15 +286,32 @@ def make_handler(engine: InferenceEngine, model_name: str):
                     raise ValueError(
                         f"at most {engine.batch_size} records per request"
                     )
+                # Reject malformed records at intake (CPU-only collation),
+                # before they can poison a batch (advice r1).
+                for i, record in enumerate(records):
+                    try:
+                        engine.validate_record(record)
+                    except Exception as exc:  # noqa: BLE001 - client error
+                        raise ValueError(f"record {i} invalid: {exc}") from exc
             except Exception as exc:  # noqa: BLE001 - client error
                 self._send(400, {"error": str(exc)})
                 return
             pendings = [engine.submit(r) for r in records]
             results = []
+            # Generous timeout relative to one padded-batch decode: if the
+            # batching worker ever dies the client gets 503 instead of a
+            # connection hung forever (advice r1).
+            timeout_s = max(60.0, engine.max_wait_s * 10)
             for pending in pendings:
-                pending.event.wait()
+                if not pending.event.wait(timeout=timeout_s):
+                    logger.error("Inference timed out after %.0fs", timeout_s)
+                    self._send(503, {"error": "inference timed out"})
+                    return
                 if pending.error is not None:
-                    self._send(500, {"error": pending.error})
+                    # Log the detail server-side; clients get a generic
+                    # message (raw exception text leaks internal paths).
+                    logger.error("Inference failed: %s", pending.error)
+                    self._send(500, {"error": "inference failed"})
                     return
                 results.append(pending.result)
             self._send(200, {"results": results})

@@ -74,13 +74,15 @@ class ModelConfig:
     # Fused Pallas kernel for beam-decode self-attention (ops/beam_attention
     # .py); auto-falls back to the XLA formulation on CPU.
     use_beam_kernel: bool = True
-    # Beam-decode KV-cache storage dtype: "bfloat16" (exact) | "int8"
-    # (per-slot-per-head symmetric quantization — halves the dominant decode
-    # HBM traffic; see PROFILE.md for the measured speed/accuracy trade).
+    # Beam-decode KV-cache storage dtype: "int8" (default — per-slot-per-head
+    # symmetric quantization halves the dominant decode HBM traffic; A/B'd
+    # Top-1..Top-10 identical on the 800-molecule synthetic IR set,
+    # RESULTS.md, and measured ~10% faster end-to-end decode after the
+    # round-4 kernel rework, PROFILE.md) | "bfloat16" (exact opt-out).
     # Only the beam self-attention cache is quantized; scores/logits stay
     # fp32 and training is untouched. Ineligible shapes (beams < 4, tiny
     # d_model) silently stay bf16.
-    kv_cache_dtype: str = "bfloat16"
+    kv_cache_dtype: str = "int8"
 
     @property
     def compute_dtype(self):

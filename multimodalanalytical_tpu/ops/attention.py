@@ -240,7 +240,11 @@ class MultiHeadAttention(nn.Module):
         # "scale": (2, B, H, L*K) fp32} (see ModelConfig.kv_cache_dtype).
         quantized = isinstance(cache_kv, dict)
         probe = cache_kv["data"] if quantized else cache_kv
-        length = probe.shape[2] // beams
+        # Stage length comes from the (stage-sliced) ancestry table, not the
+        # cache: beam_search allocates full-length cache buffers once and
+        # each decode stage reads only the flat prefix it has decoded into
+        # (prefix staging — no buffer growth copies at stage boundaries).
+        length = ancestry.shape[2]
 
         # The fused kernel pays off when the slot axis is real; greedy
         # (beams == 1) has no selection problem and the XLA path is already
@@ -339,6 +343,9 @@ class MultiHeadAttention(nn.Module):
             )
             kv_store = cache_kv
 
+        # Prefix staging: attend only over the stage prefix of the
+        # (possibly longer) cache buffer.
+        kv_store = kv_store[:, :, : length * beams]
         if quantized:
             # XLA fallback (CPU tests / ineligible shapes): dequantize and
             # run the bf16 formulation below.

@@ -359,3 +359,36 @@ def test_kernel_in_full_beam_search():
     np.testing.assert_allclose(
         np.asarray(scores_xla), np.asarray(scores_k), rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_ffn_kernel_matches_xla():
+    """Fused GEGLU FFN kernel (interpret) vs the flax FeedForward bf16 path;
+    also checks the in-kernel erf rational against jax.lax.erf."""
+    from multimodalanalytical_tpu.models.transformer import FeedForward
+    from multimodalanalytical_tpu.ops.decode_ffn import _erf, geglu_ffn
+
+    x_erf = jnp.linspace(-6, 6, 4096, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_erf(x_erf)), np.asarray(jax.lax.erf(x_erf)), atol=2e-6)
+
+    m, d, f = 256, 128, 256
+    for gated in (True, False):
+        ff = FeedForward(d_model=d, ffn_dim=f, dropout=0.0, activation="gelu",
+                         gated_linear=gated, dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, d), jnp.bfloat16)
+        params = ff.init(jax.random.PRNGKey(1), x, deterministic=True)
+        want = np.asarray(
+            ff.apply(params, x, deterministic=True), np.float32)
+        p = params["params"]
+        got = np.asarray(geglu_ffn(
+            x,
+            p["linear1"]["kernel"], p["linear1"]["bias"],
+            p["gate"]["kernel"] if gated else None,
+            p["gate"]["bias"] if gated else None,
+            p["linear2"]["kernel"], p["linear2"]["bias"],
+        ), np.float32)
+        err = np.abs(want - got).max()
+        # bf16 rounding differences only (erf poly + accum order).
+        assert err < 0.15, f"gated={gated}: max err {err}"
+        rel = err / max(np.abs(want).max(), 1e-6)
+        assert rel < 0.02, f"gated={gated}: rel err {rel}"
