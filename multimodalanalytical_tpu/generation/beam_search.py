@@ -90,7 +90,8 @@ def beam_search(
         and num_beams <= 32
         and cfg.d_model % 128 == 0
         and head_dim % 64 == 0
-        and (max_length * num_beams) % 64 == 0
+        and (max_length * num_beams) % 32 == 0
+        and max_length * num_beams >= 64
         and not cfg.relative_position_bias
         and getattr(cfg, "use_beam_kernel", True)
     )
@@ -98,9 +99,10 @@ def beam_search(
     if stage_size is None or stage_size >= max_length:
         bounds = [max_length]
     else:
-        if quantize:
-            req = 64 // math.gcd(num_beams, 64)
-            stage_size = ((stage_size + req - 1) // req) * req
+        # Keep every stage's flat slot axis a 32 multiple so the fused
+        # kernel (ops/attention.py kernel_ok) engages on every stage.
+        req = 32 // math.gcd(num_beams, 32)
+        stage_size = ((stage_size + req - 1) // req) * req
         bounds = list(range(stage_size, max_length, stage_size)) + [max_length]
 
     # Encode once; K/V stay at batch size (beam-invariant).

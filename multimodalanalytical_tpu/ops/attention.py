@@ -254,13 +254,17 @@ class MultiHeadAttention(nn.Module):
         # a lane-sized flat slot axis; tiny test models fall back to XLA.
         kernel_ok = (
             beams >= 4
-            # The append window is 2x64 rows aligned to 64: a fresh-row
-            # span of `beams` rows starting anywhere fits only for
-            # beams <= 65; bound at 32 (ADVICE r1) with margin.
+            # The append window is 2 x half rows aligned to half (half = a
+            # multiple of the dtype sublane tile with beams <= half + 1);
+            # beams <= 32 bounds the window at 64 rows (ADVICE r1).
             and beams <= 32
             and self.d_model % 128 == 0
             and head_dim % 64 == 0
-            and (length * beams) % 64 == 0
+            # Window alignment + clean block tiling need the flat slot axis
+            # to be a multiple of 32 (covers the int8 (32, 128) tile and
+            # every half used by the append window) and >= one window.
+            and (length * beams) % 32 == 0
+            and length * beams >= 64
             # The in-kernel append splices fresh rows into a 64-row window
             # and writes the window back THROUGH bf16 — fine for bf16/int8
             # caches (identical round-trip), silently lossy for an f32

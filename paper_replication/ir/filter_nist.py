@@ -9,6 +9,7 @@ the in-repo chem engine instead of RDKit.
 from __future__ import annotations
 
 import argparse
+import re
 from pathlib import Path
 
 ALLOWED = {"C", "H", "N", "O", "S", "P", "F", "Cl", "Br", "I"}
@@ -25,10 +26,9 @@ def keep_molecule(smiles: str) -> bool:
         return False
     if "@" in canonical or "/" in smiles or "\\" in smiles:  # stereo
         return False
-    if "+" in canonical or "-" in canonical.replace("C-", "").replace(")-", ""):
-        # crude charge screen: bracket charges only appear as [X+]/[X-]
-        if "[" in canonical and ("+" in canonical or "-]" in canonical):
-            return False
+    if re.search(r"\[[^\]]*[+-]", canonical):
+        # charges only appear inside brackets, e.g. [O-], [N+], [NH2+]
+        return False
     counts = atom_counts(canonical)
     if counts is None:
         return False
