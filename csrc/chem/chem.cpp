@@ -193,17 +193,18 @@ class Parser {
         stack.push_back(prev);
         ++i;
       } else if (c == ')') {
-        if (stack.empty()) return false;
+        if (stack.empty() || pending_bond) return false;
         prev = stack.back();
         stack.pop_back();
         ++i;
       } else if (c == '-' || c == '=' || c == '#' || c == ':' || c == '/' ||
                  c == '\\' || c == '~' || c == '$') {
+        if (pending_bond) return false;  // two bond symbols in a row
         pending_bond = c;
         ++i;
       } else if (c == '.') {
+        if (pending_bond) return false;  // bond symbol before a dot
         prev = -1;
-        pending_bond = 0;
         ++i;
       } else if (c == '%' || (c >= '0' && c <= '9')) {
         int ring;
@@ -221,6 +222,7 @@ class Parser {
       } else {
         int atom_idx = parse_atom(i);
         if (atom_idx < 0) return false;
+        if (prev < 0 && pending_bond) return false;  // leading bond symbol
         if (prev >= 0) {
           BondOrder order = resolve_bond(pending_bond, prev, atom_idx);
           mol_->add_bond(prev, atom_idx, order);
@@ -233,6 +235,7 @@ class Parser {
       }
     }
     if (!stack.empty()) return false;
+    if (pending_bond) return false;  // dangling bond symbol at end
     for (const auto& rb : open_rings_) {
       if (rb.second.atom >= 0) return false;  // unclosed ring bond
     }
@@ -268,6 +271,20 @@ class Parser {
     RingBond rb = it->second;
     open_rings_.erase(it);
     if (rb.atom == atom) return false;
+    // Reject a ring closure that duplicates an existing bond between the
+    // same pair of atoms (e.g. C1(C1), C12CC12) — parallel bonds are not
+    // a molecule. Placeholder slots (< 0) are skipped.
+    for (int bi : mol_->atoms[atom].bonds) {
+      if (bi >= 0 &&
+          (mol_->bonds[bi].a == rb.atom || mol_->bonds[bi].b == rb.atom)) {
+        return false;
+      }
+    }
+    bool dir_pair = (bond_sym == '/' || bond_sym == '\\') &&
+                    (rb.bond_symbol == '/' || rb.bond_symbol == '\\');
+    if (bond_sym && rb.bond_symbol && bond_sym != rb.bond_symbol && !dir_pair) {
+      return false;  // conflicting bond orders on the two closure sides
+    }
     int sym = bond_sym ? bond_sym : rb.bond_symbol;
     BondOrder order = resolve_bond(sym, rb.atom, atom);
     // Create the bond and patch the placeholder slot on the opening atom.
