@@ -93,3 +93,116 @@ def test_ir_from_dipole_peak_positions(tmp_path):
     wn, _, _, _, _, spec_qm = ir.ir_spectrum(damped, dt_fs)
     peak = wn[int(np.argmax(spec_qm))]
     assert abs(peak - 1668) < 40, peak
+
+
+# ---------------------------------------------------------------------------
+# Figure tooling (figures.py): collect / figure6 / figure7 / nmr-panel /
+# ir-plot, replacing the reference's four matplotlib figure scripts.
+# ---------------------------------------------------------------------------
+
+import os
+import subprocess
+
+FIGURES = (Path(__file__).resolve().parent.parent
+           / "paper_replication" / "comp_spectra_dataset" / "figures.py")
+
+
+def _run_figures(cwd, *args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
+    env.setdefault("MPLBACKEND", "Agg")
+    result = subprocess.run(
+        [sys.executable, str(FIGURES), *args],
+        capture_output=True, text=True, timeout=300, cwd=cwd, env=env,
+    )
+    assert result.returncode == 0, result.stderr
+    return result.stdout
+
+
+def test_collect_and_dipole_figures(tmp_path):
+    rng = np.random.default_rng(0)
+    for split, runs in (("frames", ["r0", "r1"]), ("mols", ["r2"])):
+        root = tmp_path / split
+        ids = root / "list.txt"
+        root.mkdir()
+        ids.write_text("\n".join(runs) + "\n")
+        for run in runs:
+            d = root / run / "EVAL" / "t40"
+            d.mkdir(parents=True)
+            np.save(d / "y_pred.npy", rng.normal(size=(5, 3)))
+            np.save(d / "y_true.npy", rng.normal(size=(5, 3)))
+        out = _run_figures(
+            tmp_path, "collect", "--list", str(ids), "--prefix", str(root),
+            "--out_prefix", str(tmp_path / f"unseen_{split}"),
+        )
+        assert "y_pred" in out and "y_true" in out
+    # Stacking: frames has 2 runs x 5 rows.
+    assert np.load(tmp_path / "unseen_frames_y_pred.npy").shape == (10, 3)
+
+    _run_figures(tmp_path, "figure6",
+                 "--frames_prefix", str(tmp_path / "unseen_frames"),
+                 "--molecules_prefix", str(tmp_path / "unseen_mols"),
+                 "--out", str(tmp_path / "figure6.png"), "--dpi", "72")
+    _run_figures(tmp_path, "figure7",
+                 "--prefix", str(tmp_path / "unseen_mols"),
+                 "--out", str(tmp_path / "figure7.png"), "--dpi", "72")
+    assert (tmp_path / "figure6.png").stat().st_size > 1000
+    assert (tmp_path / "figure7.png").stat().st_size > 1000
+
+
+def test_nmr_panel(tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    records = [
+        {"smiles": s,
+         "averaged_frames": {
+             "h_nmr_peaks_grouped_frame_ave": [1.1 + i, 3.2],
+             "c_nmr_peaks_grouped_frame_ave": [20.0 + i, 130.5],
+         }}
+        for i, s in enumerate(["CCO", "CCO", "c1ccccc1", "CC(=O)O"])
+    ]  # duplicate CCO exercises the first-occurrence dedupe
+    parquet = tmp_path / "NMR_data.parquet"
+    pq.write_table(pa.Table.from_pylist(records), parquet)
+    exp = [{"smiles": r["smiles"], "h_nmr_peaks": [1.0], "c_nmr_peaks": [25.0]}
+           for r in records]
+    exp_json = tmp_path / "exp.json"
+    exp_json.write_text(json.dumps(exp))
+
+    # Placeholder-exp path (no --exp_json) and real-exp path both render;
+    # indices address the DEDUPED record list (3 unique molecules).
+    _run_figures(tmp_path, "nmr-panel", "--nmr_parquet", str(parquet),
+                 "--indices", "0,2", "--out", str(tmp_path / "a.png"),
+                 "--dpi", "72")
+    _run_figures(tmp_path, "nmr-panel", "--nmr_parquet", str(parquet),
+                 "--exp_json", str(exp_json), "--indices", "1",
+                 "--out", str(tmp_path / "b.png"), "--dpi", "72")
+    assert (tmp_path / "a.png").stat().st_size > 1000
+    assert (tmp_path / "b.png").stat().st_size > 1000
+
+
+def test_ir_plot_from_parquet(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shards = tmp_path / "zenodo"
+    shards.mkdir()
+    freq = list(np.linspace(100.0, 4000.0, 64))
+    for shard, ids in enumerate([(0, 1), (2,)]):
+        pq.write_table(
+            pa.Table.from_pylist([
+                {"id": i, "smiles": "CCO",
+                 "Frequency(cm^-1)": freq,
+                 "ir_spectra": list(np.random.default_rng(i).normal(size=64))}
+                for i in ids
+            ]),
+            shards / f"IR_data_chunk{shard}.parquet",
+        )
+    # Index 2 lives in the second shard: exercises cross-shard indexing.
+    out = _run_figures(tmp_path, "ir-plot", "--parquet_dir", str(shards),
+                       "--index", "2", "--out_dir", str(tmp_path),
+                       "--dpi", "72")
+    assert "ir_spectra_id_2.png" in out
+    assert (tmp_path / "ir_spectra_id_2.png").stat().st_size > 1000
