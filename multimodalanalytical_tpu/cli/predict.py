@@ -36,6 +36,24 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir = Path(config["working_dir"]) / config["job_name"]
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "predict.log")
+    if config.get("model", {}).get("guided_generation") == "exact":
+        # Exact-mode guided decoding steps through jax.experimental.io_callback;
+        # the axon TPU runtime has no host send/recv callback support
+        # (UNIMPLEMENTED, verified 2026-08-17). Exact mode is the
+        # parity-verification tool, not the production path (that is
+        # `surrogate`, fully in-graph), so run it on the CPU backend.
+        import jax
+
+        # Inspect the configured platform list WITHOUT initializing the
+        # backend (default_backend() would lock the axon client in).
+        if "axon" in (jax.config.jax_platforms or ""):
+            logger.warning(
+                "guided_generation=exact needs host callbacks, which the "
+                "axon TPU runtime does not implement - running this predict "
+                "on the CPU backend (use guided_generation=surrogate for "
+                "the on-TPU production path)"
+            )
+            jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache()
     from ..parallel.mesh import initialize_multihost
 
