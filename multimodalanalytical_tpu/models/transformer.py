@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import MultiHeadAttention
+from ..ops.dropout import Dropout
 from ..ops.positional import RelativePositionBias
 
 _ACTIVATIONS = {
@@ -49,10 +50,10 @@ class FeedForward(nn.Module):
             gate = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=init,
                             name="gate")(x)
             hidden = hidden * gate
-        hidden = nn.Dropout(self.dropout, deterministic=deterministic)(hidden)
+        hidden = Dropout(self.dropout, deterministic=deterministic)(hidden)
         out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init,
                        name="linear2")(hidden)
-        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return Dropout(self.dropout, deterministic=deterministic)(out)
 
     def decode_fused(self, x: jnp.ndarray) -> jnp.ndarray:
         """Decode-path FFN: one fused Pallas pass (ops/decode_ffn.py) when
@@ -109,7 +110,7 @@ class EncoderLayer(nn.Module):
                                   use_flash=self.use_flash, name="self_attn")
         ff = FeedForward(self.d_model, self.ffn_dim, self.dropout, self.activation,
                          self.gated_linear, dtype=self.dtype, name="ff")
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        drop = Dropout(self.dropout, deterministic=deterministic)
 
         if self.norm_first:
             normed = _norm("norm1", self.norm_type)(x).astype(self.dtype)
@@ -154,7 +155,7 @@ class DecoderLayer(nn.Module):
         self.norm1 = _norm("norm1", self.norm_type)
         self.norm2 = _norm("norm2", self.norm_type)
         self.norm3 = _norm("norm3", self.norm_type)
-        self.residual_dropout = nn.Dropout(self.dropout)
+        self.residual_dropout = Dropout(self.dropout)
 
     def project_cross_kv(self, encoder_hidden: jnp.ndarray, flat: bool = False):
         if flat:

@@ -91,3 +91,43 @@ def test_under_jit_and_vmap():
                                rtol=1e-6)
     np.testing.assert_array_equal(
         np.asarray(f(x)) == 0.0, np.asarray(eager) == 0.0)
+
+
+def test_model_level_swap_is_bit_identical_to_flax():
+    """The transformer layers use ops.dropout.Dropout; loss AND grads must
+    be bit-identical to flax nn.Dropout for the same rng stream (the class
+    is named Dropout so flax auto-naming keeps the same make_rng paths)."""
+    import flax.linen as flax_nn
+
+    import multimodalanalytical_tpu.models.transformer as tr
+    from __graft_entry__ import _example_batch, _flagship
+
+    model = _flagship(d_model=64, layers=2, ffn=128, vocab=50,
+                      dtype="float32")
+    batch = _example_batch(batch=4, n_patches=6, patch=25, formula_len=5,
+                           target_len=12, vocab=50)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["encoder_inputs"], batch["encoder_mask"], batch["decoder_ids"],
+        batch["decoder_mask"], batch["labels"], deterministic=True)
+
+    def loss(v, drop_cls):
+        orig = tr.Dropout
+        tr.Dropout = drop_cls
+        try:
+            out = model.apply(
+                v, batch["encoder_inputs"], batch["encoder_mask"],
+                batch["decoder_ids"], batch["decoder_mask"], batch["labels"],
+                deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(42)})
+        finally:
+            tr.Dropout = orig
+        return out["loss"]
+
+    assert float(loss(variables, tr.Dropout)) == float(
+        loss(variables, flax_nn.Dropout))
+    g_ours = jax.grad(lambda v: loss(v, tr.Dropout))(variables)
+    g_flax = jax.grad(lambda v: loss(v, flax_nn.Dropout))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ours),
+                    jax.tree_util.tree_leaves(g_flax)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
