@@ -127,6 +127,14 @@ class CheckpointManager:
             leaves[i] = copy
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
+    def snapshot(self, tree: Any) -> Any:
+        """Public device-side copy of ``tree`` (see ``_device_snapshot``).
+
+        Used by the Trainer to pin a rate-suppressed best state in device
+        memory without a D2H transfer: train steps donate/invalidate the
+        live buffers, so holding a reference is not enough."""
+        return self._device_snapshot(tree)
+
     def save_async(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
         """Asynchronous ``save``: snapshot on device now, move device->host
         and write to disk on a background thread so training steps proceed

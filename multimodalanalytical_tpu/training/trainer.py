@@ -155,6 +155,9 @@ class Trainer:
         self.checkpoint_every_n_vals = max(int(checkpoint_every_n_vals), 1)
         self._val_count = 0
         self._last_improvement_save = -10**9
+        # (step, device-snapshot tree, metrics) of an improvement whose save
+        # was rate-suppressed; flushed by the next due save / end of fit.
+        self._pending_best = None
         self.tx = build_optimizer(
             optimiser, lr, num_steps, weight_decay, adam_beta1, adam_beta2,
             clip_grad, acc_batches,
@@ -430,8 +433,19 @@ class Trainer:
                 )
 
         if checkpoints is not None:
-            checkpoints.wait()
+            self._flush_pending_best(checkpoints)
         return state
+
+    def _flush_pending_best(self, checkpoints) -> None:
+        """End-of-fit: drain in-flight saves FIRST (save_async's queue is
+        latest-wins, so flushing while one is queued could drop it), then
+        flush any rate-suppressed best state so fit never ends without it."""
+        checkpoints.wait()
+        if self._pending_best is not None and is_main():
+            b_step, b_tree, b_metrics = self._pending_best
+            self._pending_best = None
+            checkpoints.save_async(b_step, b_tree, b_metrics)
+            checkpoints.wait()
 
     def _run_validation(
         self, state, val_loader, eval_step, limit_val_batches, checkpoints,
@@ -468,25 +482,52 @@ class Trainer:
         # optimizer state device->host (~45 s on the axon tunnel, dwarfing
         # 1-2 s epochs). Saves are asynchronous (device-side snapshot, D2H +
         # disk write on a background thread), so the rate limit is policy
-        # (bound tunnel traffic), not protection. At N > 1 the saved "best"
-        # lags the true best by at most N-1 validations (still saved under
-        # early stopping whenever patience >= N); the end-of-fit save always
-        # runs. N=1 reproduces the reference's every-epoch cadence exactly.
+        # (bound tunnel traffic), not protection.
+        #
+        # A rate-SUPPRESSED improvement is never lost (ADVICE r1): the
+        # improved state is pinned on device (checkpoints.snapshot — cheap
+        # HBM copy, no tunnel traffic) and flushed by the next due save that
+        # is not itself an improvement, or at end of fit. A due save with a
+        # pinned best writes the pinned state INSTEAD of the current one —
+        # one save per event keeps tunnel traffic at the configured cadence
+        # (and save_async's latest-wins queue can never drop the best);
+        # the next due save restores resume freshness.
         due = self._val_count % self.checkpoint_every_n_vals == 0
         improvement_save = (
             improved
             and self._val_count - self._last_improvement_save
             >= self.checkpoint_every_n_vals
         )
-        if checkpoints is not None and (due or improvement_save) and is_main():
-            if improvement_save:
-                self._last_improvement_save = self._val_count
-            checkpoints.save_async(
-                global_step,
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": global_step},
-                val_metrics,
-            )
+        if checkpoints is not None and is_main():
+            if due or improvement_save:
+                if improvement_save:
+                    self._last_improvement_save = self._val_count
+                if improved:
+                    # Current state is the best ever seen; any pinned
+                    # older best is superseded.
+                    self._pending_best = None
+                if self._pending_best is not None:
+                    b_step, b_tree, b_metrics = self._pending_best
+                    self._pending_best = None
+                    checkpoints.save_async(b_step, b_tree, b_metrics)
+                else:
+                    checkpoints.save_async(
+                        global_step,
+                        {"params": state.params,
+                         "opt_state": state.opt_state,
+                         "step": global_step},
+                        val_metrics,
+                    )
+            elif improved:
+                self._pending_best = (
+                    global_step,
+                    checkpoints.snapshot(
+                        {"params": state.params,
+                         "opt_state": state.opt_state,
+                         "step": global_step}
+                    ),
+                    dict(val_metrics),
+                )
         if early_stopping_patience is not None:
             if improved:
                 patience_left = early_stopping_patience

@@ -166,6 +166,9 @@ def test_checkpoint_cadence_rate_limits_improvement_saves(setup, tmp_path):
         def save_async(self, step, tree, metrics):
             saves.append((step, metrics["val_molecular_accuracy"]))
 
+        def snapshot(self, tree):
+            return tree
+
     # Scripted monotone improvement: every validation improves.
     accs = iter([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7])
     trainer.validate = lambda *a, **k: {
@@ -201,6 +204,9 @@ def test_improvement_saves_track_best_without_early_stopping(setup):
     class _Ckpts:
         def save_async(self, step, tree, metrics):
             saves.append(metrics["val_molecular_accuracy"])
+
+        def snapshot(self, tree):
+            return tree
 
     # Improves, then degrades twice, then improves past the best.
     accs = iter([0.5, 0.3, 0.4, 0.6])
@@ -249,3 +255,67 @@ def test_async_checkpoint_save(tmp_path):
                                np.arange(8, dtype=np.float32) * 2)
     # The best/top-k entry for step 4 exists too.
     assert mgr.best_step == 4
+
+
+def test_rate_suppressed_improvement_is_never_lost(setup):
+    """ADVICE r1 #1: an improvement suppressed by the rate window is pinned
+    on device and flushed by the next due save (instead of the degraded
+    current state) or at end of fit — the true best params always reach
+    disk."""
+    table, config, preps, collator, model = setup
+    trainer = Trainer(model, preps["Smiles"], num_steps=4,
+                      checkpoint_every_n_vals=3)
+
+    saves = []
+
+    class _Ckpts:
+        def save_async(self, step, tree, metrics):
+            saves.append((step, metrics["val_molecular_accuracy"]))
+
+        def snapshot(self, tree):
+            return tree
+
+        def wait(self):
+            pass
+
+    # val 1: improvement save (0.1). val 2: BIG improvement, suppressed by
+    # the window -> pinned. val 3: degraded but due -> must flush the
+    # pinned 0.9 from step 1, NOT save the 0.2 current state.
+    accs = iter([0.1, 0.9, 0.2, 0.3, 0.85])
+    trainer.validate = lambda *a, **k: {
+        "val_loss": 0.0, "val_token_acc": 0.0,
+        "val_molecular_accuracy": next(accs),
+    }
+
+    class _State:
+        params = {}
+        opt_state = {}
+
+    ckpts = _Ckpts()
+    best, patience = -float("inf"), 100
+    for step in range(5):
+        stop, best, patience = trainer._run_validation(
+            _State(), None, None, 1.0, ckpts, None, step, step, 100,
+            best, patience,
+        )
+    assert saves == [(0, 0.1), (1, 0.9)]
+    # val 5 (0.85 < 0.9): NOT an improvement, not due -> nothing pinned.
+    assert trainer._pending_best is None
+
+    # End-of-fit flush: val 6 improves (due + past the window -> saved),
+    # val 7 improves again inside the window -> pinned; fit-end flushes it.
+    accs2 = iter([0.95, 0.97])
+    trainer.validate = lambda *a, **k: {
+        "val_loss": 0.0, "val_token_acc": 0.0,
+        "val_molecular_accuracy": next(accs2),
+    }
+    for step in (5, 6):
+        stop, best, patience = trainer._run_validation(
+            _State(), None, None, 1.0, ckpts, None, step, step, 100,
+            best, patience,
+        )
+    assert saves[-1] == (5, 0.95)
+    assert trainer._pending_best is not None
+    trainer._flush_pending_best(ckpts)
+    assert saves[-1] == (6, 0.97)
+    assert trainer._pending_best is None
