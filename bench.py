@@ -194,5 +194,35 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _start_watchdog() -> None:
+    """Fail fast instead of hanging forever if the axon relay is wedged.
+
+    The relay has twice wedged mid-transfer (CLAUDE.md), and a wedged
+    backend blocks ``jax`` calls indefinitely with no exception to catch.
+    A daemon thread emits a structured error line and hard-exits after
+    ``BENCH_DEADLINE_S`` (default 90 min — generous for a fully cold
+    compile cache: train step ~1-2 min + two beam graphs at 10-20 min
+    each on the remote-compile service)."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 5400))
+
+    def fire():
+        time.sleep(deadline)
+        print(json.dumps({
+            "metric": "ir_recipe_spectra_per_sec_per_chip_typical",
+            "value": 0.0,
+            "unit": "spectra/s",
+            "vs_baseline": 0.0,
+            "error": f"bench watchdog fired after {deadline:.0f}s - "
+                     "TPU relay likely wedged or compile service stuck; "
+                     "rerun after relay restart",
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
 if __name__ == "__main__":
+    _start_watchdog()
     main()
