@@ -127,7 +127,17 @@ def main():
         attn_mod.MultiHeadAttention.__call__ = call
 
     def make(name):
-        if name == "attnlayout":
+        if name == "flaxdrop":
+            # CONTROL: the product default is now the key-saving dropout;
+            # this restores flax nn.Dropout for the A/B.
+            import flax.linen as nn
+
+            import multimodalanalytical_tpu.models.transformer as tr
+            tr.Dropout = nn.Dropout
+
+            def f(p, r):
+                return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
+        elif name == "attnlayout":
             _patch_attnlayout()
 
             def f(p, r):

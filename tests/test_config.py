@@ -61,3 +61,20 @@ def test_unknown_group_raises():
 def test_malformed_override_raises():
     with pytest.raises(ConfigError):
         compose_config(CONFIGS, "config_train", ["oops"])
+
+
+def test_all_data_mixture_augment_groups_compose():
+    """Every shipped data/mixture/augment group file composes (the paper
+    scripts select these by name; a bad YAML or broken interpolation should
+    fail here, not at recipe launch)."""
+    from pathlib import Path
+
+    configs = Path(__file__).resolve().parents[1] / "configs"
+    for group in ("data", "mixture", "augment"):
+        for path in sorted((configs / group).rglob("*.yaml")):
+            sel = str(path.relative_to(configs / group)).removesuffix(".yaml")
+            cfg = compose_config(
+                str(configs), "config_train",
+                [f"{group}={sel}", "working_dir=/tmp/x"],
+            )
+            assert cfg[group if group != "data" else "data"], (group, sel)
