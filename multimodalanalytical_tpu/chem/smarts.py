@@ -8,7 +8,7 @@ reduces match counts to a 0/1 vector (data_utils.py:139).
 from __future__ import annotations
 
 import ctypes
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ shapes depend only on fit-time parameters, never on batch content.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 

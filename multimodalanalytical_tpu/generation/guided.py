@@ -37,7 +37,7 @@ pipeline where logits processors run after ``log_softmax`` — so rule 1's
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp

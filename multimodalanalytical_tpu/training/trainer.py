@@ -17,11 +17,9 @@ Replaces the reference's Lightning wrapper + Trainer
 
 from __future__ import annotations
 
-import functools
 import logging
 import math
 import time
-from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,9 +31,8 @@ from flax.training import train_state
 from ..data.tokenizer import RegexTokenizer
 from ..evaluation.metrics import calc_sampling_metrics
 from ..generation.beam_search import beam_search
-from ..models.config import ModelConfig
 from ..models.seq2seq import Seq2SeqModel
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated, shard_batch
 from ..parallel.multihost import is_main, local_rows, sum_across_processes
 from .checkpoint import CheckpointManager
 from .loader import DataLoader
