@@ -80,6 +80,39 @@ def _bucket(name: str) -> str:
     return re.sub(r"\.\d+$", "", name)
 
 
+def _analyze_copies(txt: str) -> None:
+    """Group the copy instructions in compiled HLO text by shape, and print
+    each shape's top producers (the operand's defining instruction) so the
+    copies can be attributed to model code."""
+    import math
+    from collections import Counter, defaultdict
+
+    dsize = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
+             "f16": 2, "u8": 1, "s64": 8}
+    defs = {}
+    for line in txt.splitlines():
+        m = re.match(r"\s*(%?[\w.\-]+)\s*=", line)
+        if m:
+            defs[m.group(1)] = line.strip()
+    by_shape = Counter()
+    producers = defaultdict(Counter)
+    copy_re = re.compile(r"(\S+)\s*=\s*(\w+)\[([\d,]*)\][^ ]*\s+copy\((\S+?)[,)]")
+    for m in copy_re.finditer(txt):
+        dtype, shape, operand = m.group(2), m.group(3), m.group(4)
+        dims = [int(x) for x in shape.split(",") if x]
+        nbytes = math.prod(dims) * dsize.get(dtype, 4) if dims else 4
+        key = f"{dtype}[{shape}]"
+        by_shape[key] += nbytes
+        op_def = defs.get(operand, "?")
+        kind = re.search(r"=\s*[\w\[\],{}#* ]+?\s(\w[\w\-]*)\(", op_def)
+        producers[key][kind.group(1) if kind else "?"] += 1
+    total = sum(by_shape.values())
+    print(f"total copy bytes: {total / 1e6:.0f} MB")
+    for key, nbytes in by_shape.most_common(15):
+        prods = ", ".join(f"{k}x{v}" for k, v in producers[key].most_common(3))
+        print(f"  {nbytes / 1e6:8.1f} MB  {key:24s} from: {prods}")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "train_full"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -129,6 +162,18 @@ def main():
             for _ in range(reps):
                 loss, _ = step(params, rng)
             return loss
+    elif which == "train_hlo":
+        def step(p, s, r):
+            loss, grads = jax.value_and_grad(
+                lambda q: loss_fn(q, _rbg(r)))(p)
+            updates, s = opt.update(grads, s, p)
+            p = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
+            return loss, p, s
+
+        txt = jax.jit(step, donate_argnums=(0, 1)).lower(
+            params, opt_state, rng).compile().as_text()
+        _analyze_copies(txt)
+        return
     else:
         raise SystemExit(f"unknown variant {which}")
 
