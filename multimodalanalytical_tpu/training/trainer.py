@@ -80,11 +80,43 @@ class TrainState(train_state.TrainState):
     dropout_rng: jax.Array = None
 
 
-def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Strip host-only fields; keep the jit-able pytree."""
+def _device_batch(batch: Dict[str, Any],
+                  compute_dtype=None) -> Dict[str, Any]:
+    """Strip host-only fields; keep the jit-able pytree.
+
+    ``compute_dtype=jnp.bfloat16``: float32 ENCODER INPUT leaves are cast
+    to bfloat16 on the host before the transfer. This is numerically
+    IDENTICAL to shipping float32 — every consumer is a
+    ``Dense(dtype=bfloat16)`` patch/feature projection that casts its input
+    in-graph anyway (models/embedding.py) and the host cast uses the same
+    round-to-nearest-even — but it halves the dominant host->device bytes
+    (an IR patch batch is ~0.9 MB/step of float32; the axon relay moves
+    ~35 MB/s, so real epochs were input-transfer-bound, PROFILE.md round
+    5). XVal ``numerical_values`` stay float32: they multiply the bf16
+    embedding under f32 promotion (embedding.py:114-115). ``align_target``
+    stays float32 (f32 alignment loss).
+    """
     keep = {"encoder_inputs", "encoder_mask", "decoder_ids", "decoder_mask",
             "labels", "align_target"}
-    return {k: v for k, v in batch.items() if k in keep}
+    out = {k: v for k, v in batch.items() if k in keep}
+    if compute_dtype != jnp.bfloat16 or "encoder_inputs" not in out:
+        return out
+    import ml_dtypes
+
+    def compress(modality_value):
+        def cast(key, leaf):
+            if (key != "numerical_values" and hasattr(leaf, "dtype")
+                    and leaf.dtype == np.float32):
+                return np.asarray(leaf).astype(ml_dtypes.bfloat16)
+            return leaf
+        if isinstance(modality_value, dict):
+            return {k: cast(k, v) for k, v in modality_value.items()}
+        return cast("", modality_value)
+
+    out["encoder_inputs"] = {
+        m: compress(v) for m, v in out["encoder_inputs"].items()
+    }
+    return out
 
 
 def _modality_segments(
@@ -167,7 +199,7 @@ class Trainer:
     def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         init_rng, dropout_rng = jax.random.split(rng)
-        batch = _device_batch(sample_batch)
+        batch = _device_batch(sample_batch, self.model.config.compute_dtype)
         variables = self.model.init(
             {"params": init_rng, "dropout": dropout_rng},
             batch["encoder_inputs"], batch["encoder_mask"],
@@ -359,7 +391,10 @@ class Trainer:
             epoch_start = time.time()
             n_samples = 0
             for batch in train_loader:
-                device_batch = shard_batch(_device_batch(batch), self.mesh)
+                device_batch = shard_batch(
+                    _device_batch(batch, self.model.config.compute_dtype),
+                    self.mesh,
+                )
                 if self._train_step is None:
                     segments = _modality_segments(
                         device_batch["encoder_inputs"],
@@ -560,7 +595,10 @@ class Trainer:
         for i, batch in enumerate(val_loader):
             if i >= max_batches:
                 break
-            device_batch = shard_batch(_device_batch(batch), self.mesh)
+            device_batch = shard_batch(
+                    _device_batch(batch, self.model.config.compute_dtype),
+                    self.mesh,
+                )
             out = eval_step(state.params, device_batch)
             n_valid = batch["n_valid"]
             # Global (cross-process) mean loss — identical on all processes.
@@ -625,7 +663,10 @@ class Trainer:
         extras: Dict[str, List[Any]] = {}
 
         for batch in loader:
-            device_batch = shard_batch(_device_batch(batch), self.mesh)
+            device_batch = shard_batch(
+                    _device_batch(batch, self.model.config.compute_dtype),
+                    self.mesh,
+                )
             out = eval_step(state.params, device_batch)
             losses.append(float(out["loss"]))
             n_valid = batch["n_valid"]

@@ -319,3 +319,48 @@ def test_rate_suppressed_improvement_is_never_lost(setup):
     trainer._flush_pending_best(ckpts)
     assert saves[-1] == (6, 0.97)
     assert trainer._pending_best is None
+
+
+def test_bf16_input_shipping_is_bit_identical():
+    """_device_batch(compute_dtype=bf16) casts float32 encoder inputs to
+    bfloat16 on the host (halving the dominant host->device bytes); every
+    consumer is a Dense(dtype=bf16) that casts in-graph anyway, so the loss
+    must be BIT-identical. XVal numerical_values must stay float32 (they
+    multiply the embedding under f32 promotion)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from __graft_entry__ import _example_batch, _flagship
+    from multimodalanalytical_tpu.training.trainer import _device_batch
+
+    model = _flagship(d_model=64, layers=1, ffn=128, vocab=50,
+                      dtype="bfloat16")
+    batch = _example_batch(batch=4, n_patches=6, patch=25, formula_len=5,
+                           target_len=12, vocab=50)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["encoder_inputs"], batch["encoder_mask"], batch["decoder_ids"],
+        batch["decoder_mask"], batch["labels"], deterministic=True)
+
+    def loss(b):
+        out = model.apply(
+            variables, b["encoder_inputs"], b["encoder_mask"],
+            b["decoder_ids"], b["decoder_mask"], b["labels"],
+            deterministic=True)
+        return float(out["loss"])
+
+    comp = _device_batch(batch, jnp.bfloat16)
+    leaves = jax.tree_util.tree_leaves(comp["encoder_inputs"])
+    assert any(l.dtype == ml_dtypes.bfloat16 for l in leaves)
+    assert loss(_device_batch(batch)) == loss(comp)
+
+    # XVal numerical_values stay f32; f32 models are untouched.
+    fake = {"encoder_inputs": {"M": {
+        "tokenized_input": np.ones((2, 3), np.int32),
+        "numerical_values": np.ones((2, 3), np.float32),
+    }}}
+    out = _device_batch(fake, jnp.bfloat16)
+    assert out["encoder_inputs"]["M"]["numerical_values"].dtype == np.float32
+    out32 = _device_batch({"encoder_inputs": {"IR": np.ones((2, 3), np.float32)}})
+    assert out32["encoder_inputs"]["IR"].dtype == np.float32
