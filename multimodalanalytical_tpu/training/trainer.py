@@ -187,6 +187,8 @@ class Trainer:
         # (step, device-snapshot tree, metrics) of an improvement whose save
         # was rate-suppressed; flushed by the next due save / end of fit.
         self._pending_best = None
+        # Async train-metric logging (see _log_async).
+        self._log_queue = None
         self.tx = build_optimizer(
             optimiser, lr, num_steps, weight_decay, adam_beta1, adam_beta2,
             clip_grad, acc_batches,
@@ -412,19 +414,13 @@ class Trainer:
                     logger.info("Profiler trace written to %s", profile_dir)
                 n_samples += batch["n_valid"]
                 if global_step % log_every == 0:
-                    loss = float(metrics["loss"])
-                    logger.info(
-                        "epoch %d step %d train_loss %.4f (ce %.4f align %.4f)",
-                        epoch, global_step, loss,
-                        float(metrics["model_only_loss"]),
-                        float(metrics["alignment_loss"]),
-                    )
-                    if metrics_writer is not None:
-                        metrics_writer.add_scalar("train_loss", loss, global_step)
-                        metrics_writer.add_scalar(
-                            "train_model_only_loss",
-                            float(metrics["model_only_loss"]), global_step,
-                        )
+                    # float(metrics) here would stall the dispatch pipeline
+                    # for a device round-trip (~40 ms on the axon relay —
+                    # the device sits idle while the host waits); a daemon
+                    # thread fetches and logs instead. Holding the metric
+                    # handles is safe: they are step outputs, never donated.
+                    self._log_async(metrics_writer, epoch, global_step,
+                                    metrics)
                 global_step += 1
 
                 if (
@@ -432,6 +428,7 @@ class Trainer:
                     and val_loader is not None
                     and global_step % val_check_interval == 0
                 ):
+                    self._drain_logs()
                     stop, best_monitor, patience_left = self._run_validation(
                         state, val_loader, eval_step, limit_val_batches,
                         checkpoints, metrics_writer, epoch, global_step,
@@ -449,6 +446,7 @@ class Trainer:
                 break
 
             if val_loader is not None:
+                self._drain_logs()
                 stop, best_monitor, patience_left = self._run_validation(
                     state, val_loader, eval_step, limit_val_batches,
                     checkpoints, metrics_writer, epoch, global_step,
@@ -464,9 +462,55 @@ class Trainer:
                     {},
                 )
 
+        self._drain_logs()
         if checkpoints is not None:
             self._flush_pending_best(checkpoints)
         return state
+
+    def _log_async(self, writer, epoch: int, step: int, metrics) -> None:
+        """Fetch+log train metrics on a daemon thread.
+
+        ``float(metrics)`` on the main thread stalls dispatch for a device
+        round-trip per log event (~40 ms on the axon relay) — the device
+        idles while the host waits. The handles are step OUTPUTS (never
+        donated), so a background fetch is race-free; the checkpoint saver
+        uses the same pattern for its D2H."""
+        import queue
+        import threading
+
+        if self._log_queue is None:
+            self._log_queue = queue.Queue()
+
+            def drain():
+                while True:
+                    writer_, epoch_, step_, m = self._log_queue.get()
+                    try:
+                        loss = float(m["loss"])
+                        logger.info(
+                            "epoch %d step %d train_loss %.4f "
+                            "(ce %.4f align %.4f)",
+                            epoch_, step_, loss,
+                            float(m["model_only_loss"]),
+                            float(m["alignment_loss"]),
+                        )
+                        if writer_ is not None:
+                            writer_.add_scalar("train_loss", loss, step_)
+                            writer_.add_scalar(
+                                "train_model_only_loss",
+                                float(m["model_only_loss"]), step_,
+                            )
+                    except Exception:  # noqa: BLE001 - logging must not kill fit
+                        logger.exception("async metric logging failed")
+                    finally:
+                        self._log_queue.task_done()
+
+            threading.Thread(target=drain, daemon=True,
+                             name="train-metrics-log").start()
+        self._log_queue.put((writer, epoch, step, metrics))
+
+    def _drain_logs(self) -> None:
+        if self._log_queue is not None:
+            self._log_queue.join()
 
     def _flush_pending_best(self, checkpoints) -> None:
         """End-of-fit: drain in-flight saves FIRST (save_async's queue is
