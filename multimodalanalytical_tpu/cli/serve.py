@@ -55,6 +55,7 @@ from ..data.data_utils import (
 )
 from ..generation.beam_search import beam_search
 from ..training.checkpoint import restore_params
+from ..training.trainer import _device_batch
 from ..utils import enable_compilation_cache, seed_everything, setup_logging
 from .common import build_model, default_configs_dir
 
@@ -117,7 +118,7 @@ class InferenceEngine:
         self.n_beams = int(model_config.get("n_beams", 10))
 
         # Params: init for the template pytree, then restore the checkpoint.
-        warm = self._warm_batch()
+        warm = _device_batch(self._warm_batch(), self.cfg.compute_dtype)
         variables = self.model.init(
             jax.random.PRNGKey(0),
             warm["encoder_inputs"], warm["encoder_mask"],
@@ -234,8 +235,11 @@ class InferenceEngine:
                 for p in group
             ]
         batch = self.collator(columns)
+        # Ship bf16 encoder inputs (bit-identical for bf16-compute models;
+        # halves the request's host->device bytes — see trainer._device_batch).
+        inputs = _device_batch(batch, self.cfg.compute_dtype)
         seqs, scores = self._decode(
-            self.params, batch["encoder_inputs"], batch["encoder_mask"]
+            self.params, inputs["encoder_inputs"], inputs["encoder_mask"]
         )
         seqs = np.asarray(seqs)[: len(group)]
         scores = np.asarray(scores)[: len(group)]
