@@ -364,3 +364,25 @@ def test_bf16_input_shipping_is_bit_identical():
     assert out["encoder_inputs"]["M"]["numerical_values"].dtype == np.float32
     out32 = _device_batch({"encoder_inputs": {"IR": np.ones((2, 3), np.float32)}})
     assert out32["encoder_inputs"]["IR"].dtype == np.float32
+
+
+@pytest.mark.parametrize("num_steps", [1, 2, 3, 4])
+def test_onecycle_schedule_finite_at_tiny_horizons(num_steps):
+    """optax cosine_onecycle_schedule NaNs for transition_steps <= 3 (the
+    warmup boundary int(0.3*steps) is 0 -> division by zero); one update
+    then NaN'd every parameter on short runs. build_optimizer floors the
+    horizon so the first update is always finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalanalytical_tpu.training.trainer import build_optimizer
+
+    tx = build_optimizer("adamw", 1e-4, num_steps)
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros(3)}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(params))
