@@ -62,6 +62,21 @@ def test_training_then_predict(fixture_dataset, run_dir):
     assert (run_dir / "train" / "preprocessor.json").exists()
     assert (run_dir / "train" / "checkpoints" / "last").exists()
 
+    # Trained params must be finite — a degenerate LR schedule once NaN'd
+    # every parameter after the first update on this tiny fixture while the
+    # run still "succeeded" (see build_optimizer's transition_steps floor).
+    import numpy as np
+
+    from multimodalanalytical_tpu.training.checkpoint import restore_params
+
+    params = restore_params(run_dir / "train" / "checkpoints" / "last")
+    import jax
+
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree_util.tree_leaves(params)
+    ), "non-finite parameters in the trained checkpoint"
+
     predict_overrides = [
         f"working_dir={run_dir}",
         "job_name=predict",
