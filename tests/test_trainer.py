@@ -386,3 +386,26 @@ def test_onecycle_schedule_finite_at_tiny_horizons(num_steps):
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(params))
+
+
+def test_fit_is_deterministic_per_seed(setup):
+    """Two identical seeded fits produce bit-identical parameters — pins
+    the rng plumbing end to end (threefry carry, in-graph rbg re-keying,
+    key-saving dropout, shuffled loader order)."""
+    import jax
+
+    table, config, preps, collator, model = setup
+
+    def run():
+        loader = DataLoader(table, collator, batch_size=8, shuffle=True,
+                            seed=11, prefetch=0)
+        trainer = Trainer(model, preps["Smiles"], num_steps=8, lr=1e-3,
+                          seed=5)
+        state = trainer.init_state(next(iter(loader)))
+        state = trainer.fit(state, loader, None, epochs=2)
+        return jax.tree_util.tree_leaves(state.params)
+
+    a, b = run(), run()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
