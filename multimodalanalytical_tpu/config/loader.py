@@ -77,19 +77,23 @@ def _parse_value(raw: str) -> Any:
         return raw
 
 
-def parse_overrides(argv: List[str]) -> List[Tuple[str, Any, str]]:
+def parse_overrides(argv: List[str]) -> List[Tuple[str, Any, str, bool]]:
     """Parse ``key=value`` CLI arguments.
 
-    Returns a list of ``(key, value, raw_value)`` tuples; raw value is kept so
-    group selections (``data=ir/patches``) can use the unparsed string.
+    Returns ``(key, value, raw_value, additive)`` tuples; raw value is kept
+    so group selections (``data=ir/patches``) can use the unparsed string.
+    ``additive`` is Hydra's ``+key=value`` form, which may introduce a key
+    that does not exist in the composed config (a plain override of an
+    unknown key is an error — it is almost always a typo).
     """
     overrides = []
     for arg in argv:
         if "=" not in arg:
             raise ConfigError(f"Override '{arg}' is not of the form key=value")
         key, raw = arg.split("=", 1)
+        additive = key.startswith("+")
         key = key.lstrip("+")
-        overrides.append((key, _parse_value(raw), raw))
+        overrides.append((key, _parse_value(raw), raw, additive))
     return overrides
 
 
@@ -175,15 +179,15 @@ def compose_config(
         ordered_groups = ordered_groups  # _self_ implicitly first
 
     # CLI group overrides: bare group name with a path-like or null value.
-    remaining: List[Tuple[str, Any]] = []
-    for key, value, raw in parsed:
+    remaining: List[Tuple[str, Any, bool]] = []
+    for key, value, raw, additive in parsed:
         if "." not in key and key in group_selections:
             group_selections[key] = None if value is None else raw
         elif "." not in key and (config_dir / key).is_dir() and isinstance(value, str):
             group_selections[key] = raw
             ordered_groups.append(key)
         else:
-            remaining.append((key, value))
+            remaining.append((key, value, additive))
 
     config: Dict[str, Any] = copy.deepcopy(root_cfg)
     for group in ordered_groups:
@@ -194,7 +198,18 @@ def compose_config(
         content = _load_group_file(config_dir, group, str(selection))
         config[group] = _deep_merge(config.get(group), content)
 
-    for key, value in remaining:
+    for key, value, additive in remaining:
+        if not additive:
+            # Hydra semantics: a plain override must target an existing key
+            # (typos otherwise change nothing, silently); ``+key=value``
+            # introduces new keys.
+            try:
+                _get_dotted(config, key)
+            except KeyError:
+                raise ConfigError(
+                    f"Override '{key}' does not exist in the composed "
+                    f"config (use '+{key}=...' to add a new key)"
+                ) from None
         _set_dotted(config, key, value)
 
     return _interpolate(config, config)

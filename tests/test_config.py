@@ -78,3 +78,15 @@ def test_all_data_mixture_augment_groups_compose():
                 [f"{group}={sel}", "working_dir=/tmp/x"],
             )
             assert cfg[group if group != "data" else "data"], (group, sel)
+
+
+def test_unknown_override_raises_plus_adds():
+    """Hydra semantics: a plain override of a nonexistent key is an error
+    (it is almost always a typo and would otherwise silently change
+    nothing); +key=value introduces new keys."""
+    with pytest.raises(ConfigError, match="does not exist"):
+        compose_config("configs", "config_train",
+                       ["model.n_beam=20", "working_dir=/tmp/x"])
+    cfg = compose_config("configs", "config_train",
+                         ["+model.my_new_knob=7", "working_dir=/tmp/x"])
+    assert cfg["model"]["my_new_knob"] == 7
