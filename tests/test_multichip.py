@@ -246,3 +246,21 @@ def test_multihost_trainer_fit_two_process_cpu(tmp_path):
     # Only rank 0 writes checkpoints.
     assert ranks[0]["ckpt_last"] or ranks[1]["ckpt_last"]
     assert (multi_dir / "ckpt" / "last").exists()
+
+
+def test_shard_batch_accepts_bf16_numpy():
+    """The bf16 input-shipping path (trainer._device_batch) hands
+    ml_dtypes.bfloat16 numpy arrays to shard_batch; they must shard over
+    the data axis like any other leaf."""
+    import ml_dtypes
+    import numpy as np
+
+    from multimodalanalytical_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    out = shard_batch({"a": x.astype(ml_dtypes.bfloat16)}, mesh)
+    assert str(out["a"].dtype) == "bfloat16"
+    assert "data" in str(out["a"].sharding.spec)
+    np.testing.assert_array_equal(
+        np.asarray(out["a"], dtype=np.float32), x)
