@@ -219,3 +219,30 @@ def test_hf_default_heuristic_never_beats_us(seed):
     hf_seqs, hf_scores = _hf_decode(base, coupling, early_stopping=False)
     our_seqs, our_scores = _our_decode(base, coupling, None)
     assert (our_scores >= hf_scores - 1e-5).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_greedy_matches_hf_greedy_search(seed):
+    """greedy_decode (= beam_search with one beam) vs HF's separate
+    greedy_search path (generate with num_beams=1)."""
+    from multimodalanalytical_tpu.generation.beam_search import greedy_decode
+
+    base, coupling = _tables(seed)
+    model = _TableModel(_TableConfig(), base, coupling).eval()
+    out = model.generate(
+        input_ids=torch.full((BATCH, 1), BOS, dtype=torch.long),
+        num_beams=1, max_length=MAXLEN, forced_eos_token_id=EOS,
+        use_cache=False, do_sample=False,
+    )
+    hf = out.numpy()
+    if hf.shape[-1] < MAXLEN:
+        hf = np.concatenate(
+            [hf, np.full((BATCH, MAXLEN - hf.shape[-1]), PAD, np.int64)], -1)
+
+    ours = np.asarray(greedy_decode(
+        _FakeModel(base, coupling), {"params": {}},
+        {"X": jnp.zeros((BATCH, 1), jnp.int32)},
+        jnp.ones((BATCH, 1), bool), max_length=MAXLEN,
+    ))
+    np.testing.assert_array_equal(
+        _canon(ours[:, None, :])[:, 0], _canon(hf[:, None, :])[:, 0])
