@@ -173,26 +173,30 @@ def load_parquet_dir(
 # ---------------------------------------------------------------------------
 
 def _kfold_indices(n: int, n_splits: int, seed: int) -> List[np.ndarray]:
-    """sklearn-KFold-equivalent shuffled fold assignment."""
-    rng = np.random.RandomState(seed)
-    indices = np.arange(n)
-    rng.shuffle(indices)
-    fold_sizes = np.full(n_splits, n // n_splits, dtype=int)
-    fold_sizes[: n % n_splits] += 1
-    folds, current = [], 0
-    for size in fold_sizes:
-        folds.append(np.sort(indices[current : current + size]))
-        current += size
-    return folds
+    """Test-fold indices of ``sklearn.KFold(shuffle=True, random_state)``.
+
+    Uses sklearn itself (same library + call as the reference,
+    datasets.py:157) so fold membership matches the published CV folds
+    bit-for-bit; verified against the reference's executed ``split`` in
+    tests/test_reference_split_parity.py."""
+    from sklearn.model_selection import KFold
+
+    folds = KFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    return [test for _, test in folds.split(X=np.arange(n))]
 
 
 def _train_test_split(
     indices: np.ndarray, test_size: int, seed: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    shuffled = indices.copy()
-    rng.shuffle(shuffled)
-    return shuffled[test_size:], shuffled[:test_size]
+    """HF ``Dataset.train_test_split(shuffle=True, seed=...)`` exactly:
+    ``np.random.default_rng(seed).permutation(n)`` over POSITIONS, test
+    slice first, both subsets kept in permuted order — so fold membership
+    AND row order match the reference bit-for-bit (verified against the
+    reference's executed ``split`` in tests/test_reference_split_parity.py).
+    """
+    indices = np.asarray(indices)
+    perm = np.random.default_rng(seed).permutation(len(indices))
+    return indices[perm[test_size:]], indices[perm[:test_size]]
 
 
 def split(dataset: TableDataset, cv_split: int = 0, seed: int = 3245) -> Dict[str, TableDataset]:
@@ -216,55 +220,47 @@ def func_split(
 ) -> Dict[str, TableDataset]:
     """Stratify by sorted functional-group-name strings; singleton groups go
     to train (reference datasets.py:176-234)."""
+    from sklearn.model_selection import StratifiedKFold
+    from sklearn.model_selection import train_test_split as sk_tts
+
     names = [".".join(sorted(x)) for x in dataset["functional_group_names"]]
     counts: Dict[str, int] = {}
     for name in names:
         counts[name] = counts.get(name, 0) + 1
 
-    singles = np.asarray([i for i, n in enumerate(names) if counts[n] == 1])
-    multis = np.asarray([i for i, n in enumerate(names) if counts[n] > 1])
+    singles = np.asarray([i for i, n in enumerate(names) if counts[n] == 1],
+                         dtype=int)
+    multis = np.asarray([i for i, n in enumerate(names) if counts[n] > 1],
+                        dtype=int)
     multi_labels = np.asarray([names[i] for i in multis])
 
+    # Same sklearn calls as the reference (datasets.py:205-228) so fold
+    # membership matches its published CV folds exactly: stratified 90/10
+    # holdout (cv_split=-1, fixed seed 3453) or 10-fold StratifiedKFold;
+    # then an sklearn val split of the train subset, in subset order.
     if cv_split == -1:
-        train_idx, test_idx = _stratified_split(multis, multi_labels, 0.1, 3453)
+        train_pos, test_pos = sk_tts(
+            np.arange(len(multis)), stratify=multi_labels, test_size=0.1,
+            random_state=3453, shuffle=True,
+        )
     else:
-        train_idx, test_idx = _stratified_kfold(multis, multi_labels, 10, cv_split, seed)
+        skf = StratifiedKFold(n_splits=10, shuffle=True, random_state=seed)
+        splits = list(skf.split(X=multis, y=multi_labels))
+        train_pos, test_pos = splits[cv_split]
 
-    val_size = min(int(0.05 * len(train_idx)), DEFAULT_SETTINGS.default_val_set_size)
-    train_idx, val_idx = _train_test_split(train_idx, val_size, seed)
-    train_idx = np.concatenate([train_idx, singles]) if len(singles) else train_idx
-
+    val_size = min(int(0.05 * len(train_pos)), DEFAULT_SETTINGS.default_val_set_size)
+    if val_size >= 1:
+        train_pos, val_pos = sk_tts(
+            train_pos, test_size=val_size, random_state=seed, shuffle=True,
+        )
+    else:  # tiny datasets (tests): sklearn rejects test_size=0
+        val_pos = np.asarray([], dtype=int)
+    train_idx = np.concatenate([multis[train_pos], singles])
     return {
-        "train": dataset.select(train_idx.astype(int)),
-        "test": dataset.select(test_idx.astype(int)),
-        "validation": dataset.select(val_idx.astype(int)),
+        "train": dataset.select(train_idx),
+        "test": dataset.select(multis[test_pos]),
+        "validation": dataset.select(multis[val_pos]),
     }
-
-
-def _stratified_kfold(indices, labels, n_splits, fold, seed):
-    rng = np.random.RandomState(seed)
-    test_mask = np.zeros(len(indices), dtype=bool)
-    for label in np.unique(labels):
-        members = np.where(labels == label)[0]
-        rng.shuffle(members)
-        fold_sizes = np.full(n_splits, len(members) // n_splits, dtype=int)
-        fold_sizes[: len(members) % n_splits] += 1
-        start = fold_sizes[:fold].sum()
-        test_mask[members[start : start + fold_sizes[fold]]] = True
-    return indices[~test_mask], indices[test_mask]
-
-
-def _stratified_split(indices, labels, test_fraction, seed):
-    rng = np.random.RandomState(seed)
-    test_mask = np.zeros(len(indices), dtype=bool)
-    for label in np.unique(labels):
-        members = np.where(labels == label)[0]
-        rng.shuffle(members)
-        n_test = max(1, int(round(len(members) * test_fraction)))
-        if n_test >= len(members):
-            n_test = len(members) - 1
-        test_mask[members[:n_test]] = True
-    return indices[~test_mask], indices[test_mask]
 
 
 def target_split(
@@ -279,13 +275,23 @@ def target_split(
     test_positions = folds[cv_split]
     train_positions = np.setdiff1d(np.arange(len(unique_targets)), test_positions)
 
+    # Reference uses SKLEARN's train_test_split here (datasets.py:279-284)
+    # — a different RNG convention than HF's (used by ``split``); call the
+    # same function for bit-identical target membership.
+    from sklearn.model_selection import train_test_split as sk_tts
+
     val_size = min(
         int(0.05 * len(train_positions)), DEFAULT_SETTINGS.default_val_set_size
     )
-    train_positions, val_positions = _train_test_split(train_positions, val_size, seed)
-
-    train_targets = set(unique_targets[train_positions].tolist())
-    val_targets = set(unique_targets[val_positions].tolist())
+    if val_size >= 1:
+        train_vals, val_vals = sk_tts(
+            unique_targets[train_positions], test_size=val_size,
+            random_state=seed, shuffle=True,
+        )
+    else:  # tiny datasets (tests): sklearn rejects test_size=0
+        train_vals, val_vals = unique_targets[train_positions], np.asarray([])
+    train_targets = set(train_vals.tolist())
+    val_targets = set(val_vals.tolist())
     test_targets = set(unique_targets[test_positions].tolist())
 
     def select_by(targets: set) -> TableDataset:

@@ -54,16 +54,17 @@ def test_target_split_no_leakage():
 
 
 def test_func_split_singletons_in_train():
-    groups = [["ester"], ["ester"], ["amine"], ["amine"], ["weird"]] * 4
-    groups[4] = ["unique_one"]  # singleton group
+    # 3 multi groups with >= 10 members each (sklearn StratifiedKFold with
+    # n_splits=10 — the reference's exact call — requires it) + 1 singleton.
+    groups = [["ester"], ["amine"], ["weird"]] * 13 + [["unique_one"]]
     table = TableDataset({
-        "smiles": [f"C{i}" for i in range(20)],
+        "smiles": [f"C{i}" for i in range(40)],
         "functional_group_names": groups,
     })
     out = func_split(table, cv_split=0)
     # the singleton-group molecule must be in train
-    assert "C4" in out["train"]["smiles"]
-    assert "C4" not in out["test"]["smiles"]
+    assert "C39" in out["train"]["smiles"]
+    assert "C39" not in out["test"]["smiles"]
 
 
 def test_horizontal_shift_preserves_length():
