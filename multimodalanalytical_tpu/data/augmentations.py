@@ -36,18 +36,16 @@ def horizontal_shift_augment(spectrum, n_augments: int = 2) -> List[List[float]]
     return out
 
 
-def _gaussian_filter1d(spectrum: np.ndarray, sigma: float) -> np.ndarray:
-    radius = int(4.0 * sigma + 0.5)
-    x = np.arange(-radius, radius + 1)
-    kernel = np.exp(-0.5 * (x / sigma) ** 2)
-    kernel /= kernel.sum()
-    padded = np.pad(spectrum, radius, mode="reflect")
-    return np.convolve(padded, kernel, mode="valid")
-
-
 def smooth_augment(spectrum, sigmas: List[float]) -> List[List[float]]:
+    """scipy's gaussian_filter1d — the reference's exact call
+    (augmentations.py:33-40); a hand-rolled convolution differed at the
+    boundaries (scipy's default 'reflect' mode is symmetric-reflect,
+    np.pad's 'reflect' is not). Parity pinned against the reference's
+    executed code in tests/test_reference_preproc_parity.py."""
+    from scipy.ndimage import gaussian_filter1d
+
     spectrum = np.asarray(spectrum, dtype=np.float64)
-    return [_gaussian_filter1d(spectrum, sigma).tolist() for sigma in sigmas]
+    return [gaussian_filter1d(spectrum, sigma).tolist() for sigma in sigmas]
 
 
 def smiles_augment(smiles: str, n_augments: int) -> List[str]:

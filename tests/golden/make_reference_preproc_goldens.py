@@ -30,12 +30,44 @@ ps = types.ModuleType("pydantic_settings")
 
 
 class _BaseSettings(pydantic.BaseModel):
-    model_config: dict = {}
+    model_config = {"arbitrary_types_allowed": True}
+
+
+def _settings_config(**kw):
+    kw["arbitrary_types_allowed"] = True
+    return kw
 
 
 ps.BaseSettings = _BaseSettings
-ps.SettingsConfigDict = dict
+ps.SettingsConfigDict = _settings_config
 sys.modules.setdefault("pydantic_settings", ps)
+
+# augmentations/datasets additionally import rdkit + omegaconf; the code
+# paths exercised here never touch them.
+
+
+class _FakeMol:
+    pass
+
+
+_rdchem = types.ModuleType("rdkit.Chem")
+_rdchem.Mol = _FakeMol
+_rdchem.MolFromSmarts = lambda s: _FakeMol()
+_rdchem.MolFromSmiles = lambda s: None
+_rd = types.ModuleType("rdkit")
+_rd.Chem = _rdchem
+sys.modules.setdefault("rdkit", _rd)
+sys.modules.setdefault("rdkit.Chem", _rdchem)
+_om = types.ModuleType("omegaconf")
+_omd = types.ModuleType("omegaconf.dictconfig")
+_omd.DictConfig = dict
+_oml = types.ModuleType("omegaconf.listconfig")
+_oml.ListConfig = list
+_om.DictConfig = dict
+_om.ListConfig = list
+sys.modules.setdefault("omegaconf", _om)
+sys.modules.setdefault("omegaconf.dictconfig", _omd)
+sys.modules.setdefault("omegaconf.listconfig", _oml)
 
 from test_reference_preproc_parity import PATCH_CONFIGS, build_inputs  # noqa: E402
 
@@ -82,6 +114,65 @@ def main() -> None:
         if encoding == "numerical_encoding":
             out[key + "_numeric"] = json.dumps(
                 [list(map(float, v)) for v in numeric])
+
+    # ---- augmentations ---------------------------------------------------
+    from analytical_fm.data.augmentations import (
+        horizontal_shift_augment, smooth_augment,
+    )
+
+    spec = inputs["spectra_1791"][0]
+    # n_augments=2 only: the reference's fixed-size support grid crashes
+    # for n=3 at 1791 points (its shipped configs use n=2; ours sizes the
+    # grid per slice and supports both).
+    ref = horizontal_shift_augment(np.asarray(spec), n_augments=2)
+    out["horizontal_2"] = np.asarray(ref, dtype=np.float64)
+    out["smooth"] = np.asarray(
+        smooth_augment(np.asarray(spec), sigmas=[1.0, 2.5]), dtype=np.float64)
+
+    # ---- msms_number -------------------------------------------------------
+    from analytical_fm.data.preprocessing.msms_number import (
+        MSMSNumberPreprocessor,
+    )
+
+    pre = MSMSNumberPreprocessor(normalise=True)
+    pre.initialise({"M": inputs["msms"]}, "M")
+    ref_out = pre(inputs["msms"])
+    out["msms_number_values"] = ref_out["input_ids"].numpy().astype(np.float32)
+    out["msms_number_mask"] = ref_out["attention_mask"].numpy().astype(np.float32)
+
+    # ---- mixture stream ----------------------------------------------------
+    import itertools
+
+    from datasets import Dataset
+
+    from analytical_fm.data.datasets import mix_spectra
+
+    pool = Dataset.from_dict({
+        k: ([list(map(float, r)) for r in v] if k == "IR" else v)
+        for k, v in inputs["mix_pool"].items()
+    })
+    for ratios_name, ratios in (("equal", None), ("unbalanced", [0.3, 0.7])):
+        cfg = {"n_compounds": 2, "compounds_ratio": ratios,
+               "parallel_samples": 16, "train_max_n_samples": 64,
+               "normalize": True}
+        samples = list(itertools.islice(
+            mix_spectra(pool, cfg, "train", seed=11), 24))
+        out[f"mix_{ratios_name}_meta"] = json.dumps(
+            [[s["Smiles"], s["Formula"], s["Additional_smiles"],
+              s["Percentage"]] for s in samples])
+        out[f"mix_{ratios_name}_ir"] = np.asarray(
+            [s["IR"] for s in samples], dtype=np.float64)
+        out[f"mix_{ratios_name}_target"] = np.asarray(
+            [s["IR_target"] for s in samples], dtype=np.float64)
+
+    # ---- tokenizer -----------------------------------------------------------
+    from analytical_fm.data.tokenizer import build_regex_tokenizer
+
+    regex = (r"(\[[^\]]+]|Br?|Cl?|N|O|S|P|F|I|b|c|n|o|s|p|\(|\)|\.|=|#|-"
+             r"|\+|\\|\/|:|~|@|\?|>|\*|\$|\%[0-9]{2}|[0-9])")
+    tok = build_regex_tokenizer(inputs["corpus"], regex, "isolated")
+    ids = tok(inputs["corpus"])["input_ids"]
+    out["tokenizer_ids"] = json.dumps([[int(x) for x in row] for row in ids])
 
     target = HERE / "reference_preproc_goldens.npz"
     np.savez(target, **out)

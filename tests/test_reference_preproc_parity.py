@@ -68,12 +68,26 @@ def build_inputs():
         return row
 
     multiplets = [multiplet_row(3), multiplet_row(1), None, multiplet_row(5)]
+
+    # mixture pool: float32-exact spectra so float64 (reference) and
+    # float32 (ours) pipelines see identical inputs
+    mix_pool = {
+        "Smiles": [f"C{'C' * i}" for i in range(8)],
+        "Formula": [f"C{i + 1}H{2 * i + 4}" for i in range(8)],
+        "IR": [np.round(rng.uniform(0, 1, 1800), 3).astype(np.float32)
+               for _ in range(8)],
+    }
+
+    corpus = ["CCO", "c1ccccc1O", "CC(=O)OC1=CC=CC=C1C(=O)O", "CCN(CC)CC",
+              "C1CCCCC1", "O=C(O)c1ccccc1"]
     return {
         "spectra_1800": spectra_1800,
         "spectra_1791": spectra_1791,
         "carbon": carbon,
         "msms": msms,
         "multiplets": multiplets,
+        "mix_pool": mix_pool,
+        "corpus": corpus,
     }
 
 
@@ -189,3 +203,97 @@ def test_patches_none_rows_always_fully_masked(inputs):
         pre.fit(spectra)
         _, keep = pre([spectra[0].tolist(), None])
         assert keep[1].sum() == 0
+
+
+def test_horizontal_shift_matches_reference(golden, inputs):
+    # n=2 only: the reference's fixed support grid crashes for n=3 at 1791
+    # points (its shipped configs use n=2); ours generalizes (grid per
+    # slice) and is property-tested separately in test_datasets.py.
+    from multimodalanalytical_tpu.data.augmentations import (
+        horizontal_shift_augment,
+    )
+
+    spec = inputs["spectra_1791"][0]
+    ours = horizontal_shift_augment(spec.tolist(), n_augments=2)
+    np.testing.assert_allclose(np.asarray(ours), golden["horizontal_2"],
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_smooth_augment_matches_reference(golden, inputs):
+    from multimodalanalytical_tpu.data.augmentations import smooth_augment
+
+    spec = inputs["spectra_1791"][0]
+    ours = smooth_augment(spec.tolist(), sigmas=[1.0, 2.5])
+    np.testing.assert_allclose(np.asarray(ours), golden["smooth"],
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_msms_number_matches_reference(golden, inputs):
+    from multimodalanalytical_tpu.data.preprocessing.msms_number import (
+        MSMSNumberPreprocessor,
+    )
+
+    pre = MSMSNumberPreprocessor(normalise=True)
+    pre.fit(inputs["msms"])
+    out = pre(inputs["msms"])
+    # Ours pads to a STATIC max_peaks (jit shape stability); the reference
+    # pads to the batch max. Values and mask must match on the reference's
+    # width, and our extra tail must be fully masked zeros.
+    ref_vals = golden["msms_number_values"]
+    ref_mask = golden["msms_number_mask"]
+    width = ref_vals.shape[1]
+    vals = np.asarray(out["input_ids"], dtype=np.float32)
+    mask = np.asarray(out["attention_mask"], dtype=np.float32)
+    np.testing.assert_allclose(vals[:, :width], ref_vals, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(mask[:, :width] != 0, ref_mask != 0)
+    assert (vals[:, width:] == 0).all() and (mask[:, width:] == 0).all()
+
+
+@pytest.mark.parametrize("ratios_name,ratios", [
+    ("equal", None), ("unbalanced", [0.3, 0.7]),
+])
+def test_mix_spectra_stream_matches_reference(golden, inputs, ratios_name,
+                                              ratios):
+    """The streaming mixture generator (index draws, weighted average,
+    normalization, per-component yields) must reproduce the reference's
+    sample stream exactly for the same seed: ours uses
+    np.random.RandomState(seed) where the reference seeds the GLOBAL
+    np.random - same MT19937 sequence."""
+    import itertools
+
+    import jax  # noqa: F401  (platform forced by conftest)
+
+    from multimodalanalytical_tpu.data.datasets import (
+        TableDataset, mix_spectra,
+    )
+
+    cfg = {"n_compounds": 2, "compounds_ratio": ratios,
+           "parallel_samples": 16, "train_max_n_samples": 64,
+           "normalize": True}
+    table = TableDataset(dict(inputs["mix_pool"]))
+    ours = list(itertools.islice(
+        mix_spectra(table, cfg, "train", seed=11), 24))
+    ref_meta = json.loads(str(golden[f"mix_{ratios_name}_meta"]))
+    ref_ir = golden[f"mix_{ratios_name}_ir"]
+    ref_tgt = golden[f"mix_{ratios_name}_target"]
+    assert len(ours) == len(ref_meta)
+    for i, sample in enumerate(ours):
+        assert [sample["Smiles"], sample["Formula"],
+                sample["Additional_smiles"], sample["Percentage"]] == ref_meta[i]
+        np.testing.assert_allclose(np.asarray(sample["IR"], np.float64),
+                                   ref_ir[i], rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sample["IR_target"], np.float64),
+                                   ref_tgt[i], rtol=1e-6, atol=1e-8)
+
+
+def test_tokenizer_ids_match_reference(golden, inputs):
+    """build_regex_tokenizer parity: same corpus + regex -> same vocab ids
+    and the same <bos> x <eos> framed encodings."""
+    from multimodalanalytical_tpu.data.tokenizer import build_regex_tokenizer
+
+    regex = (r"(\[[^\]]+]|Br?|Cl?|N|O|S|P|F|I|b|c|n|o|s|p|\(|\)|\.|=|#|-"
+             r"|\+|\\|\/|:|~|@|\?|>|\*|\$|\%[0-9]{2}|[0-9])")
+    tok = build_regex_tokenizer(inputs["corpus"], regex, "isolated")
+    ids = [tok([s])["input_ids"][0] for s in inputs["corpus"]]
+    ids = [[int(x) for x in row if x != tok.pad_token_id] for row in ids]
+    assert ids == json.loads(str(golden["tokenizer_ids"]))
