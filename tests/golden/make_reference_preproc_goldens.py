@@ -174,6 +174,53 @@ def main() -> None:
     ids = tok(inputs["corpus"])["input_ids"]
     out["tokenizer_ids"] = json.dumps([[int(x) for x in row] for row in ids])
 
+    # ---- text_spectrum -----------------------------------------------------
+    from analytical_fm.data.preprocessing.text_spectrum import (
+        PeakPositionalEncodingPreprocessor, RunLengthEncodingPreprocessor,
+        TextSpectrumPreprocessor,
+    )
+
+    spectra6 = inputs["spectra_1791"]
+    spectra1990 = inputs["spectra_1990"]
+    formulae = inputs["formulae"]
+
+    ts_cases = [
+        ("whole_int", dict(spectrum_to_text_x="whole_spectrum",
+                           spectrum_to_text_y="integer"), spectra6),
+        ("window_int", dict(spectrum_to_text_x="window",
+                            spectrum_to_text_y="integer"), spectra1990),
+        ("var_int", dict(spectrum_to_text_x="variance",
+                         spectrum_to_text_y="integer"), spectra6),
+        ("whole_freq", dict(spectrum_to_text_x="whole_spectrum",
+                            spectrum_to_text_y="frequency_based_clustering"),
+         spectra6),
+    ]
+    for name, kw, spec in ts_cases:
+        pre = TextSpectrumPreprocessor(
+            spectrum_tokens_x=60, spectrum_tokens_y=40,
+            spectra_column="S", formula_column="F", **kw)
+        pre.initialise({"S": spec.tolist(), "F": formulae}, "M")
+        strings, _ = pre.process_spectra(np.asarray(spec))
+        out[f"ts_{name}"] = json.dumps(strings)
+
+    rle = RunLengthEncodingPreprocessor(
+        spectrum_tokens_x=60, spectrum_tokens_y=40,
+        spectrum_to_text_x="run_length_encoding", spectrum_to_text_y="integer",
+        spectra_column="S", formula_column="F")
+    rle.initialise({"M": spectra6.tolist()}, "M")
+    strings, _ = rle.process_spectra(np.asarray(spectra6))
+    out["ts_rle"] = json.dumps(rle.get_run_length_encoding(strings))
+
+    peak = PeakPositionalEncodingPreprocessor(
+        spectrum_tokens_x=60, spectrum_tokens_y=40,
+        spectrum_to_text_x="threshold", spectrum_to_text_y="integer",
+        modality_type="ir", spectra_column="S", formula_column="F")
+    peak.initialise({"M": spectra6.tolist()}, "M")
+    strings, indices = peak.process_spectra(np.asarray(spectra6))
+    out["ts_peak_strings"] = json.dumps(strings)
+    out["ts_peak_indices"] = np.asarray(
+        [np.asarray(ix).flatten() for ix in indices], dtype=np.int64)
+
     target = HERE / "reference_preproc_goldens.npz"
     np.savez(target, **out)
     print(f"wrote {target} with {len(out)} entries")

@@ -80,7 +80,12 @@ def build_inputs():
 
     corpus = ["CCO", "c1ccccc1O", "CC(=O)OC1=CC=CC=C1C(=O)O", "CCN(CC)CC",
               "C1CCCCC1", "O=C(O)c1ccccc1"]
+
+    spectra_1990 = rng.uniform(0.0, 1.0, size=(6, 1990))
+    formulae = ["C2H6O", "C6H6O", "C9H8O4", "C6H15N", "C6H12", "C7H6O2"]
     return {
+        "spectra_1990": spectra_1990,
+        "formulae": formulae,
         "spectra_1800": spectra_1800,
         "spectra_1791": spectra_1791,
         "carbon": carbon,
@@ -297,3 +302,66 @@ def test_tokenizer_ids_match_reference(golden, inputs):
     ids = [tok([s])["input_ids"][0] for s in inputs["corpus"]]
     ids = [[int(x) for x in row if x != tok.pad_token_id] for row in ids]
     assert ids == json.loads(str(golden["tokenizer_ids"]))
+
+
+TS_CASES = [
+    ("whole_int", dict(spectrum_to_text_x="whole_spectrum",
+                       spectrum_to_text_y="integer"), "spectra_1791"),
+    ("window_int", dict(spectrum_to_text_x="window",
+                        spectrum_to_text_y="integer"), "spectra_1990"),
+    ("var_int", dict(spectrum_to_text_x="variance",
+                     spectrum_to_text_y="integer"), "spectra_1791"),
+    ("whole_freq", dict(spectrum_to_text_x="whole_spectrum",
+                        spectrum_to_text_y="frequency_based_clustering"),
+     "spectra_1791"),
+]
+
+
+@pytest.mark.parametrize("name,kw,which", TS_CASES)
+def test_text_spectrum_strings_match_reference(golden, inputs, name, kw,
+                                               which):
+    from multimodalanalytical_tpu.data.preprocessing.text_spectrum import (
+        TextSpectrumPreprocessor,
+    )
+
+    spec = inputs[which]
+    pre = TextSpectrumPreprocessor(spectrum_tokens_x=60, spectrum_tokens_y=40,
+                                   **kw)
+    pre.fit(spec, inputs["formulae"])
+    strings, _ = pre.process_spectra(np.asarray(spec))
+    assert strings == json.loads(str(golden[f"ts_{name}"]))
+
+
+def test_rle_strings_match_reference(golden, inputs):
+    from multimodalanalytical_tpu.data.preprocessing.text_spectrum import (
+        RunLengthEncodingPreprocessor,
+    )
+
+    spec = inputs["spectra_1791"]
+    pre = RunLengthEncodingPreprocessor(
+        spectrum_tokens_x=60, spectrum_tokens_y=40,
+        spectrum_to_text_x="run_length_encoding",
+        spectrum_to_text_y="integer")
+    pre.fit(spec, inputs["formulae"])
+    strings, _ = pre.process_spectra(np.asarray(spec))
+    assert pre.get_run_length_encoding(strings) == json.loads(
+        str(golden["ts_rle"]))
+
+
+def test_peak_positional_matches_reference(golden, inputs):
+    from multimodalanalytical_tpu.data.preprocessing.text_spectrum import (
+        PeakPositionalEncodingPreprocessor,
+    )
+
+    spec = inputs["spectra_1791"]
+    pre = PeakPositionalEncodingPreprocessor(
+        spectrum_tokens_x=60, spectrum_tokens_y=40,
+        spectrum_to_text_x="threshold", spectrum_to_text_y="integer",
+        modality_type="ir")
+    pre.fit(spec, inputs["formulae"])
+    strings, indices = pre.process_spectra(np.asarray(spec))
+    assert strings == json.loads(str(golden["ts_peak_strings"]))
+    np.testing.assert_array_equal(
+        np.asarray([np.asarray(ix).flatten() for ix in indices],
+                   dtype=np.int64),
+        golden["ts_peak_indices"])
