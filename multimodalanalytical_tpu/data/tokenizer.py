@@ -57,7 +57,19 @@ class RegexTokenizer:
 
         ids = [e.ids for e in encodings]
         if truncation and max_length is not None:
-            ids = [row[:max_length] for row in ids]
+            # HF fast tokenizers reserve space for the post-processor's
+            # special tokens BEFORE truncating, so an over-long sequence
+            # still ends with <eos>; a plain tail cut dropped it (caught by
+            # the reference-collator parity golden).
+            def trunc(row):
+                if len(row) <= max_length:
+                    return row
+                keep = row[:max_length]
+                if row[-1] == self.eos_token_id:
+                    keep = keep[:-1] + [self.eos_token_id]
+                return keep
+
+            ids = [trunc(row) for row in ids]
 
         if padding == "max_length" and max_length is not None:
             width = max_length

@@ -68,6 +68,10 @@ _om.ListConfig = list
 sys.modules.setdefault("omegaconf", _om)
 sys.modules.setdefault("omegaconf.dictconfig", _omd)
 sys.modules.setdefault("omegaconf.listconfig", _oml)
+# datamodules imports pytorch_lightning for the (unused here) DataModule
+_pl = types.ModuleType("pytorch_lightning")
+_pl.LightningDataModule = object
+sys.modules.setdefault("pytorch_lightning", _pl)
 
 from test_reference_preproc_parity import PATCH_CONFIGS, build_inputs  # noqa: E402
 
@@ -220,6 +224,63 @@ def main() -> None:
     out["ts_peak_strings"] = json.dumps(strings)
     out["ts_peak_indices"] = np.asarray(
         [np.asarray(ix).flatten() for ix in indices], dtype=np.int64)
+
+    # ---- collator (flagship Formula + IR patches -> Smiles) ---------------
+    import torch  # noqa: F401  (reference collator returns torch tensors)
+    from datasets import DatasetDict
+
+    from analytical_fm.data.datamodules import MultiModalDataCollator
+    from analytical_fm.data.preprocessing.patches import PatchPreprocessor
+    from analytical_fm.data.tokenizer import build_regex_tokenizer as ref_brt
+
+    smiles_regex = (r"(\[[^\]]+]|Br?|Cl?|N|O|S|P|F|I|b|c|n|o|s|p|\(|\)|\."
+                    r"|=|#|-|\+|\\|\/|:|~|@|\?|>|\*|\$|\%[0-9]{2}|[0-9])")
+    formula_regex = r"([A-Z]{1}[a-z]?[0-9]*)"
+    coll_rows = {
+        "Formula": inputs["formulae"],
+        "IR": [list(map(float, r)) for r in inputs["spectra_1791"]],
+        "Smiles": inputs["corpus"],
+    }
+    ref_preps = {
+        "Formula": ref_brt(coll_rows["Formula"], formula_regex, "isolated"),
+        "Smiles": ref_brt(coll_rows["Smiles"], smiles_regex, "isolated"),
+        "IR": PatchPreprocessor(patch_size=125, masking=False,
+                                interpolation=False, overlap=1,
+                                derivative=False),
+    }
+    ref_preps["IR"].initialise({"M": coll_rows["IR"]}, "M")
+    coll_config = {
+        "Formula": {"type": "text", "target": False},
+        "IR": {"type": "1D_patches", "target": False},
+        "Smiles": {"type": "text", "target": True},
+    }
+    ref_coll = MultiModalDataCollator(
+        preprocessors=ref_preps, data_config=coll_config,
+        model_type="CustomModel",
+        dataset=DatasetDict({"train": Dataset.from_dict(coll_rows)}),
+        max_source_length={"Formula": 12, "IR": 14},
+        max_target_length=24,
+    )
+    coll_batch = [
+        {k: coll_rows[k][i] for k in coll_rows} for i in range(4)
+    ]
+    ref_out = ref_coll(coll_batch)
+    # save batch-first
+    out["coll_formula_ids"] = ref_out["encoder_input"]["Formula"].T.numpy()
+    out["coll_ir"] = (
+        ref_out["encoder_input"]["IR"].transpose(0, 1).numpy().astype(np.float32))
+    out["coll_pad_mask"] = ref_out["encoder_pad_mask"].T.numpy().astype(bool)
+    out["coll_decoder_ids"] = (
+        ref_out["decoder_input"]["Smiles"].T.numpy())
+    out["coll_decoder_pad"] = ref_out["decoder_pad_mask"].T.numpy().astype(bool)
+    out["coll_target"] = ref_out["target"].T.numpy()
+    out["coll_target_mask"] = ref_out["target_mask"].T.numpy().astype(bool)
+    out["coll_target_smiles"] = json.dumps(list(ref_out["target_smiles"]))
+
+    # fitted IR standardization stats for our side (collator parity should
+    # not depend on fitting-path equality, proven elsewhere)
+    out["coll_ir_mean"] = np.float64(ref_preps["IR"].mean)
+    out["coll_ir_std"] = np.float64(ref_preps["IR"].std)
 
     target = HERE / "reference_preproc_goldens.npz"
     np.savez(target, **out)

@@ -365,3 +365,69 @@ def test_peak_positional_matches_reference(golden, inputs):
         np.asarray([np.asarray(ix).flatten() for ix in indices],
                    dtype=np.int64),
         golden["ts_peak_indices"])
+
+
+def test_collator_matches_reference(golden, inputs):
+    """Batch assembly parity on the flagship recipe (Formula text + IR
+    1D_patches -> Smiles): encoder inputs, concatenated attention mask,
+    teacher-forced decoder inputs, labels, label masks and raw target
+    strings all equal the reference collator's output (which is seq-first;
+    ours batch-first with a keep-mask instead of a pad-mask; label pad
+    positions carry -100 here, masked positions in the reference)."""
+    from multimodalanalytical_tpu.data.collator import MultiModalCollator
+    from multimodalanalytical_tpu.data.preprocessing.patches import (
+        PatchPreprocessor,
+    )
+    from multimodalanalytical_tpu.data.tokenizer import build_regex_tokenizer
+
+    smiles_regex = (r"(\[[^\]]+]|Br?|Cl?|N|O|S|P|F|I|b|c|n|o|s|p|\(|\)|\."
+                    r"|=|#|-|\+|\\|\/|:|~|@|\?|>|\*|\$|\%[0-9]{2}|[0-9])")
+    formula_regex = r"([A-Z]{1}[a-z]?[0-9]*)"
+    rows = {
+        "Formula": inputs["formulae"],
+        "IR": [list(map(float, r)) for r in inputs["spectra_1791"]],
+        "Smiles": inputs["corpus"],
+    }
+    preps = {
+        "Formula": build_regex_tokenizer(rows["Formula"], formula_regex,
+                                         "isolated"),
+        "Smiles": build_regex_tokenizer(rows["Smiles"], smiles_regex,
+                                        "isolated"),
+        "IR": PatchPreprocessor(patch_size=125, masking=False,
+                                interpolation=False),
+    }
+    preps["IR"].fit(rows["IR"])
+    np.testing.assert_allclose(preps["IR"].mean, golden["coll_ir_mean"],
+                               rtol=1e-9)
+    config = {
+        "Formula": {"type": "text", "target": False},
+        "IR": {"type": "1D_patches", "target": False},
+        "Smiles": {"type": "text", "target": True},
+    }
+    coll = MultiModalCollator(
+        preps, config, max_source_length={"Formula": 12, "IR": 14},
+        max_target_length=24, pad_to_batch_size=4,
+    )
+    batch = {k: v[:4] for k, v in rows.items()}
+    ours = coll(batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(ours["encoder_inputs"]["Formula"]),
+        golden["coll_formula_ids"])
+    np.testing.assert_allclose(
+        np.asarray(ours["encoder_inputs"]["IR"], np.float32),
+        golden["coll_ir"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(ours["encoder_mask"], bool), ~golden["coll_pad_mask"])
+    np.testing.assert_array_equal(
+        np.asarray(ours["decoder_ids"]), golden["coll_decoder_ids"])
+    np.testing.assert_array_equal(
+        np.asarray(ours["decoder_mask"], bool), ~golden["coll_decoder_pad"])
+    # labels: equal where attended; pad positions are -100 here vs pad ids
+    labels = np.asarray(ours["labels"])
+    tgt_keep = ~golden["coll_target_mask"]
+    np.testing.assert_array_equal(labels[tgt_keep],
+                                  golden["coll_target"][tgt_keep])
+    assert (labels[~tgt_keep] == -100).all()
+    assert list(ours["target_strings"]) == json.loads(
+        str(golden["coll_target_smiles"]))
