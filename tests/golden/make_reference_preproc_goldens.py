@@ -282,6 +282,40 @@ def main() -> None:
     out["coll_ir_mean"] = np.float64(ref_preps["IR"].mean)
     out["coll_ir_std"] = np.float64(ref_preps["IR"].std)
 
+    # ---- metric arithmetic (utils.calc_sampling_metrics) -------------------
+    # rdkit is stubbed with IDENTITY canonicalization (MolToSmiles(x) == x),
+    # so the golden pins the RANK/Top-N/per-class arithmetic, which is
+    # chemistry-independent; canonicalization itself is covered by the chem
+    # engine's own corpus tests.
+    _rdchem.MolFromSmiles = lambda s: s if s else None
+    _rdchem.MolToSmiles = lambda m: m
+    _rdmd = types.ModuleType("rdkit.Chem.rdMolDescriptors")
+    _rdmd.CalcMolFormula = lambda m: m
+    _rdchem.rdMolDescriptors = _rdmd
+    sys.modules.setdefault("rdkit.Chem.rdMolDescriptors", _rdmd)
+    _rdlogger = types.ModuleType("rdkit.RDLogger")
+    _rdlogger.DisableLog = lambda *_: None
+    _rd.RDLogger = _rdlogger
+    sys.modules.setdefault("rdkit.RDLogger", _rdlogger)
+    import analytical_fm.utils as ref_utils
+
+    samples = [
+        ["<bos> C C O <eos>", "C C N", "c 1", "<pad>"],
+        ["X", "C C ( C ) O", "C C O", "Z"],
+        ["A", "B", "C", "D"],
+        ["O = C", "<bos> O = C <eos> <pad>", "Q", "R"],
+        ["C C O", "C C O", "C C O", "C C O"],
+    ]
+    targets = ["CCO", "CC(C)O", "CCO", "O=C", "CCN"]
+    classes = ["0.5", "0.5", "0.1", "0.1", "0.5"]
+    out["metrics_plain"] = json.dumps(ref_utils.calc_sampling_metrics(
+        [list(s) for s in samples], list(targets), molecules=True))
+    per_class = ref_utils.calc_sampling_metrics(
+        [list(s) for s in samples], list(targets), classes=list(classes),
+        molecules=True)
+    out["metrics_classes"] = json.dumps(
+        {str(k): v for k, v in per_class.items()})
+
     target = HERE / "reference_preproc_goldens.npz"
     np.savez(target, **out)
     print(f"wrote {target} with {len(out)} entries")

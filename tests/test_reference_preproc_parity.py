@@ -431,3 +431,38 @@ def test_collator_matches_reference(golden, inputs):
     assert (labels[~tgt_keep] == -100).all()
     assert list(ours["target_strings"]) == json.loads(
         str(golden["coll_target_smiles"]))
+
+
+def test_metric_arithmetic_matches_reference(golden):
+    """calc_sampling_metrics rank/Top-N/per-class arithmetic vs the
+    reference's executed utils.calc_sampling_metrics (rdkit stubbed with
+    IDENTITY canonicalization on both sides: molecules=False here ==
+    identity-canon there; the chemistry itself is covered by the chem
+    engine's corpus tests)."""
+    from multimodalanalytical_tpu.evaluation.metrics import (
+        calc_sampling_metrics,
+    )
+
+    samples = [
+        ["<bos> C C O <eos>", "C C N", "c 1", "<pad>"],
+        ["X", "C C ( C ) O", "C C O", "Z"],
+        ["A", "B", "C", "D"],
+        ["O = C", "<bos> O = C <eos> <pad>", "Q", "R"],
+        ["C C O", "C C O", "C C O", "C C O"],
+    ]
+    targets = ["CCO", "CC(C)O", "CCO", "O=C", "CCN"]
+    classes = ["0.5", "0.5", "0.1", "0.1", "0.5"]
+
+    ours = calc_sampling_metrics([list(s) for s in samples], list(targets),
+                                 molecules=False)
+    ref = json.loads(str(golden["metrics_plain"]))
+    for key, value in ref.items():
+        assert ours[key] == pytest.approx(value), key
+
+    ours_cls = calc_sampling_metrics([list(s) for s in samples],
+                                     list(targets), classes=list(classes),
+                                     molecules=False)
+    ref_cls = json.loads(str(golden["metrics_classes"]))
+    for cl, table in ref_cls.items():
+        for key, value in table.items():
+            assert ours_cls[float(cl)][key] == pytest.approx(value), (cl, key)
