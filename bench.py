@@ -67,6 +67,17 @@ TYPICAL_DECODE_LEN = 48
 
 
 def main() -> None:
+    from multimodalanalytical_tpu.tpu_guard import (
+        acquire_tpu_lock, ensure_backend_alive,
+    )
+
+    # Two concurrent TPU jobs once raced the single-client relay into a
+    # >10h outage (CLAUDE.md); hold the machine-wide lock for the whole run.
+    acquire_tpu_lock(timeout_s=float(os.environ.get("BENCH_LOCK_TIMEOUT_S", 300)))
+    # Hang-safe init: a wedged relay hangs jax.devices() forever; the
+    # subprocess probe turns that into a fast structured-JSON failure.
+    ensure_backend_alive()
+
     from __graft_entry__ import _example_batch, _flagship
     from multimodalanalytical_tpu.generation.beam_search import beam_search
     from multimodalanalytical_tpu.parallel.mesh import make_mesh, shard_batch
@@ -225,4 +236,20 @@ def _start_watchdog() -> None:
 
 if __name__ == "__main__":
     _start_watchdog()
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - driver needs JSON, not a trace
+        # Round-2 postmortem: a fast init failure (relay down) died as a raw
+        # traceback and the driver recorded `parsed: null`. ANY failure must
+        # still emit the one structured JSON line.
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "ir_recipe_spectra_per_sec_per_chip_typical",
+            "value": 0.0,
+            "unit": "spectra/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        raise SystemExit(1)

@@ -54,6 +54,10 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                 "the on-TPU production path)"
             )
             jax.config.update("jax_platforms", "cpu")
+    from ..tpu_guard import guard_if_tpu
+
+    if guard_if_tpu():
+        logger.info("Holding the single-instance TPU lock (axon relay)")
     enable_compilation_cache()
     from ..parallel.mesh import initialize_multihost
 

@@ -353,6 +353,10 @@ def run(config: Dict[str, Any]) -> None:
     setup_logging(work_dir / "serve.log")
     enable_compilation_cache()
     seed_everything()
+    from ..tpu_guard import guard_if_tpu
+
+    if guard_if_tpu():
+        logger.info("Holding the single-instance TPU lock (axon relay)")
     server = build_server(config)
     host, port = server.server_address[:2]
     logger.info("Serving on http://%s:%s (POST /predict)", host, port)

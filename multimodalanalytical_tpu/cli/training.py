@@ -39,6 +39,10 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     work_dir = Path(config["working_dir"]) / config["job_name"]
     work_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(work_dir / "training.log")
+    from ..tpu_guard import guard_if_tpu
+
+    if guard_if_tpu():
+        logger.info("Holding the single-instance TPU lock (axon relay)")
     enable_compilation_cache()
     from ..parallel.mesh import initialize_multihost
 
@@ -102,6 +106,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "checkpoint_monitor", "val_molecular_accuracy"),
         checkpoint_every_n_vals=config["trainer"].get(
             "checkpoint_every_n_vals", 1) or 1,
+        checkpoint_wait_timeout_s=config["trainer"].get(
+            "checkpoint_wait_timeout_s", 600.0),
     )
 
     sample_batch = next(iter(loaders["train"]))
