@@ -97,7 +97,11 @@ class MultimodalEmbedding(nn.Module):
                 raise NotImplementedError(f"Unknown modality type: {mtype}")
             if self.embedding_norm:
                 # Reference normalises in fp32 (modeling/utils.py:165-168).
-                norms[modality] = nn.LayerNorm(dtype=jnp.float32, name=f"norm_{modality}")
+                # eps 1e-5 = torch default (parity with the reference's
+                # nn.LayerNorm, tests/test_reference_model_parity.py).
+                norms[modality] = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, name=f"norm_{modality}"
+                )
         self.embedding_layers = embeds
         self.embedding_norms = norms
         if self.do_positional_encodings:

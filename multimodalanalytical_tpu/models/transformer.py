@@ -86,10 +86,15 @@ class FeedForward(nn.Module):
 
 
 def _norm(name: str, norm_type: str = "layernorm"):
-    """LayerNorm (default) or RMSNorm (T5 fidelity), always fp32."""
+    """LayerNorm (default) or RMSNorm (T5 fidelity), always fp32.
+
+    LayerNorm eps = 1e-5 matches torch's default (the reference's layers are
+    torch built-ins); flax's 1e-6 default measurably diverges post-LN stacks
+    (~5e-4 on fp32 logits, tests/test_reference_model_parity.py). RMSNorm
+    keeps 1e-6 = T5's layer_norm_epsilon."""
     if norm_type == "rmsnorm":
         return nn.RMSNorm(dtype=jnp.float32, name=name)
-    return nn.LayerNorm(dtype=jnp.float32, name=name)
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
 
 
 class EncoderLayer(nn.Module):

@@ -61,7 +61,8 @@ class LearnedPositionalEncoding(nn.Module):
         enc = table(jnp.clip(positions, 0, self.max_seq_len - 1))
         # Reference normalises learned positional encodings
         # (modeling/utils.py:255, 271).
-        return nn.LayerNorm(dtype=jnp.float32, name="pos_norm")(enc)
+        # eps 1e-5 = torch default (reference modeling/utils.py:255).
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pos_norm")(enc)
 
 
 POS_ENC_REGISTRY = {
