@@ -11,6 +11,7 @@ import json
 import logging
 import shutil
 import threading
+import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -177,16 +178,41 @@ class CheckpointManager:
                     self._async_error = error
                 self._cond.notify_all()
 
-    def wait(self) -> None:
+    def wait(self, timeout_s: Optional[float] = None) -> bool:
         """Block until all queued async saves are on disk; re-raise the
-        first background error, if any."""
+        first background error, if any.
+
+        ``timeout_s`` bounds the drain: the axon relay has twice wedged
+        mid-D2H (CLAUDE.md), leaving ``jax.device_get`` blocked forever in
+        the saver thread — without a bound, a FINISHED fit would hang at
+        exactly the moment all work is done. On timeout the in-flight save
+        is abandoned (the saver is a daemon thread; it dies with the
+        process), the best on-disk state is logged so the operator knows
+        what survived, and False is returned. Returns True on a clean
+        drain."""
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
         with self._cond:
             while self._pending is not None or self._busy:
-                self._cond.wait()
+                remaining = (
+                    None if deadline is None else deadline - time.monotonic()
+                )
+                if remaining is not None and remaining <= 0:
+                    last = (self._index.get("last") or {}) or {}
+                    best = (self._index.get("best") or {}) or {}
+                    logger.error(
+                        "Abandoning in-flight checkpoint save after %.0f s "
+                        "(relay wedge mid-D2H?). On-disk state is still "
+                        "usable: last=step %s, best=step %s (%s).",
+                        timeout_s, last.get("step"), best.get("step"),
+                        self.directory,
+                    )
+                    return False
+                self._cond.wait(timeout=remaining)
             if self._async_error is not None:
                 error = self._async_error
                 self._async_error = None
                 raise error
+        return True
 
     def restore(self, name: str, template: Any) -> Any:
         path = self.directory / name

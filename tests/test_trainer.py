@@ -275,8 +275,8 @@ def test_rate_suppressed_improvement_is_never_lost(setup):
         def snapshot(self, tree):
             return tree
 
-        def wait(self):
-            pass
+        def wait(self, timeout_s=None):
+            return True
 
     # val 1: improvement save (0.1). val 2: BIG improvement, suppressed by
     # the window -> pinned. val 3: degraded but due -> must flush the
@@ -319,6 +319,77 @@ def test_rate_suppressed_improvement_is_never_lost(setup):
     trainer._flush_pending_best(ckpts)
     assert saves[-1] == (6, 0.97)
     assert trainer._pending_best is None
+
+
+def test_wait_timeout_abandons_wedged_save(tmp_path, caplog):
+    """A saver wedged mid-D2H (axon relay hang, seen twice) must not block
+    wait() forever: the bounded drain abandons the in-flight save, logs the
+    surviving on-disk state, and returns False (VERDICT r2 item 6)."""
+    import logging
+    import threading
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from multimodalanalytical_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    tree = {"params": {"w": jnp.arange(4, dtype=jnp.float32)}, "step": 1}
+    # A good on-disk `last` from before the wedge.
+    mgr.save(1, jax.device_get(tree), {"val_molecular_accuracy": 0.5})
+
+    release = threading.Event()
+    real_save = mgr.save
+
+    def wedged_save(step, host_tree, metrics):
+        release.wait(30.0)  # stands in for the infinite D2H/write hang
+        real_save(step, host_tree, metrics)
+
+    mgr.save = wedged_save
+    tree2 = {"params": {"w": jnp.arange(4, dtype=jnp.float32)}, "step": 2}
+    mgr.save_async(2, tree2, {"val_molecular_accuracy": 0.9})
+    t0 = time.monotonic()
+    with caplog.at_level(logging.ERROR):
+        assert mgr.wait(timeout_s=1.0) is False
+    assert time.monotonic() - t0 < 10.0
+    # The operator is told what survived on disk.
+    assert "Abandoning in-flight checkpoint save" in caplog.text
+    assert "last=step 1" in caplog.text
+    # Un-wedge: the drain completes and a clean wait succeeds again.
+    release.set()
+    assert mgr.wait(timeout_s=30.0) is True
+    restored = mgr.restore("last", jax.device_get(tree))
+    assert int(restored["step"]) == 2
+
+
+def test_fit_end_drops_pending_best_when_saver_wedged(setup, caplog):
+    """End-of-fit with a wedged saver: _flush_pending_best must return
+    (bounded first drain), drop the rate-suppressed best with an explicit
+    log, and never enqueue work the wedged thread can't take."""
+    import logging
+
+    table, config, preps, collator, model = setup
+    trainer = Trainer(model, preps["Smiles"], num_steps=4,
+                      checkpoint_wait_timeout_s=0.5)
+
+    enqueued = []
+
+    class _WedgedCkpts:
+        def save_async(self, step, tree, metrics):
+            enqueued.append(step)
+
+        def snapshot(self, tree):
+            return tree
+
+        def wait(self, timeout_s=None):
+            return False  # wedged: the drain timed out
+
+    trainer._pending_best = (7, {"params": {}}, {"val_molecular_accuracy": 0.9})
+    with caplog.at_level(logging.ERROR):
+        trainer._flush_pending_best(_WedgedCkpts())
+    assert trainer._pending_best is None
+    assert enqueued == []
+    assert "Dropping rate-suppressed best" in caplog.text
 
 
 def test_bf16_input_shipping_is_bit_identical():
