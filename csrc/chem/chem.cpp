@@ -1236,6 +1236,9 @@ std::string canonical_fragment(const Mol& mol, const std::vector<int>& members) 
   return canonicalize_recursive(mol, members, initial_keys(mol), &budget);
 }
 
+std::string mol_to_canonical(const Mol& mol);
+void drop_uninformative_stereo(Mol* mol);
+
 bool parse_and_sanitize(const char* smiles, Mol* mol) {
   if (smiles == nullptr) return false;
   std::string s(smiles);
@@ -1247,7 +1250,9 @@ bool parse_and_sanitize(const char* smiles, Mol* mol) {
   if (stripped.empty()) return false;
   Parser parser(stripped);
   if (!parser.parse(mol)) return false;
-  return sanitize(mol);
+  if (!sanitize(mol)) return false;
+  drop_uninformative_stereo(mol);
+  return true;
 }
 
 std::string mol_to_canonical(const Mol& mol) {
@@ -1263,6 +1268,53 @@ std::string mol_to_canonical(const Mol& mol) {
     out += frags[i];
   }
   return out;
+}
+
+// Drop stereo annotations that carry no information (RDKit
+// AssignStereochemistry(cleanIt=True) parity; reference metrics parse all
+// predictions through RDKit, evaluation/utils.py). A tetrahedral mark or a
+// double-bond descriptor is spurious iff INVERTING it leaves the canonical
+// string unchanged: the two "configurations" are the same molecule, so the
+// mark only bifurcates that molecule's canonical form (e.g. O[C@H]1CCCCC1
+// vs OC1CCCCC1 must collapse, or a model emitting a redundant @ is scored
+// wrong). Inversion testing — unlike the neighbor-symmetry-class rule —
+// keeps dependent ring stereo: flipping one mark of
+// cis-1,4-dimethylcyclohexane yields the trans diastereomer (a different
+// string), so genuine marks survive. Runs to a fixpoint since a removal
+// can render another mark spurious.
+void drop_uninformative_stereo(Mol* mol) {
+  bool any = false;
+  for (const auto& a : mol->atoms) any |= (a.chirality != CHI_NONE);
+  for (const auto& b : mol->bonds) any |= (b.stereo != 0);
+  if (!any) return;
+  bool changed = true;
+  int guard = 0;
+  std::string base = mol_to_canonical(*mol);
+  while (changed && guard++ < 8) {
+    changed = false;
+    for (auto& a : mol->atoms) {
+      if (a.chirality == CHI_NONE) continue;
+      const Chirality orig = a.chirality;
+      a.chirality = (orig == CHI_CW) ? CHI_CCW : CHI_CW;
+      const bool same = (mol_to_canonical(*mol) == base);
+      a.chirality = same ? CHI_NONE : orig;
+      if (same) {
+        changed = true;
+        base = mol_to_canonical(*mol);
+      }
+    }
+    for (auto& b : mol->bonds) {
+      if (b.stereo == 0) continue;
+      const int8_t orig = b.stereo;
+      b.stereo = static_cast<int8_t>(-orig);
+      const bool same = (mol_to_canonical(*mol) == base);
+      b.stereo = same ? 0 : orig;
+      if (same) {
+        changed = true;
+        base = mol_to_canonical(*mol);
+      }
+    }
+  }
 }
 
 std::string mol_formula(const Mol& mol) {

@@ -65,6 +65,39 @@ GOLDENS = [
     ("percent_closure", "C%10CCCCC%10", "C1CCCCC1"),
     ("mixed_closures", "C%12CCCCC%12CC%13CCCC%13", "C2(CC1CCCCC1)CCCC2"),
     ("interleaved_closures", "C1CCC%11CC1CC%11C", "CC1C2CC(C1)CCC2"),
+    # fused aromatics WITH stereocenters / E,Z (VERDICT r2 item 7)
+    ("naphthyl_ethanol_R", "C[C@H](O)c1ccc2ccccc2c1",
+     "C[C@@H](c1cc2c(cc1)cccc2)O"),
+    ("naphthyl_ethanol_S", "C[C@@H](O)c1ccc2ccccc2c1",
+     "C[C@H](c1cc2c(cc1)cccc2)O"),
+    ("indane_stereo", "C[C@H]1CCc2ccccc21", "C[C@H]1CCc2c1cccc2"),
+    ("tetralin_stereo", "C[C@@H]1CCCc2ccccc21", "C[C@@H]1CCCc2c1cccc2"),
+    ("styryl_naphthalene_E", "C(/C=C/c1ccc2ccccc2c1)",
+     "C\\C=C\\c1cc2c(cc1)cccc2"),
+    ("styryl_naphthalene_Z", "C(/C=C\\c1ccc2ccccc2c1)",
+     "C\\C=C/c1cc2c(cc1)cccc2"),
+    # charged + isotope combinations
+    ("n15_ammonium", "[15NH4+]", "[15NH4+]"),
+    ("c13_acetate", "C[13C](=O)[O-]", "C[13C]([O-])=O"),
+    ("d4_ammonium", "[2H][N+]([2H])([2H])[2H]", "[2H][N+]([2H])([2H])[2H]"),
+    ("zwitterion_ala_13c", "C[13C@H]([NH3+])C(=O)[O-]",
+     "C[13C@@H](C([O-])=O)[NH3+]"),
+    ("d_tma_chloride", "[2H]C([2H])([2H])[N+](C)(C)C.[Cl-]",
+     "[2H]C([2H])([2H])[N+](C)(C)C.[Cl-]"),
+    ("o18_sulfate", "[18O]S(=O)(=O)[O-]", "[O-]S(=O)(=O)[18O]"),
+    # high-symmetry / degenerate skeletons
+    ("coronene", "c1cc2ccc3ccc4ccc5ccc6ccc1c1c2c3c4c5c61",
+     "c12c3c4c5c6c1c7ccc2ccc3ccc4ccc5ccc6cc7"),
+    ("triptycene", "C1(c2ccccc2C2c3ccccc31)c1ccccc12",
+     "C13c5c(C(c2c1cccc2)c4c3cccc4)cccc5"),
+    ("twistane", "C1CC2CCC1C1CC2CC1", "C12C3CCC(C(C1)CC2)CC3"),
+    ("barrelene", "C1=CC2C=CC1C=C2", "C1=CC2C=CC1C=C2"),
+    # dependent ring stereo: neither carbon is an isolated stereocenter
+    # (its two ring neighbors are symmetry-equivalent), but the PAIR of
+    # marks encodes a real cis/trans diastereomer and must survive the
+    # spurious-stereo cleaner.
+    ("cis_14dmch", "C[C@H]1CC[C@H](C)CC1", "C[C@@H]1CC[C@H](CC1)C"),
+    ("trans_14dmch", "C[C@H]1CC[C@@H](C)CC1", "C[C@@H]1CC[C@@H](CC1)C"),
 ]
 
 
@@ -96,6 +129,64 @@ def test_stereo_distinctions_survive():
     # same molecule.
     assert canonicalize("N[C@@H](C)C(=O)O") == canonicalize("C[C@H](N)C(=O)O")
     assert canonicalize("F/C=C/F") == canonicalize("F\\C=C\\F")
+
+
+# A stereo mark on a NON-stereogenic atom must be dropped, so annotated and
+# unannotated renderings of the same molecule share one canonical string
+# (RDKit AssignStereochemistry(cleanIt=True) parity — the reference's
+# metrics parse predictions through RDKit, so a model emitting a redundant
+# @ must not be scored as a different molecule).
+SPURIOUS_STEREO = [
+    ("chain", "C[C@H](C)O", "CC(C)O"),
+    ("ring", "O[C@@H]1CCCCC1", "OC1CCCCC1"),
+    ("benzylic_sym", "O[C@H]1c2ccccc2Cc2ccccc21", "OC1c2ccccc2Cc2ccccc21"),
+    ("sym_fused", "C[C@H]1Cc2cc3ccccc3cc2C1", "CC1Cc2cc3ccccc3cc2C1"),
+    ("sym_alkene_ez", "C/C=C(\\C)C", "CC=C(C)C"),
+    ("geminal_ez", "C/C(C)=C(/F)F", "CC(C)=C(F)F"),
+]
+
+
+@pytest.mark.parametrize("name,marked,plain", SPURIOUS_STEREO,
+                         ids=[s[0] for s in SPURIOUS_STEREO])
+def test_spurious_stereo_dropped(name, marked, plain):
+    cm, cp = canonicalize(marked), canonicalize(plain)
+    assert cm == cp, (cm, cp)
+    assert "@" not in cm and "/" not in cm and "\\" not in cm
+
+
+# Tautomer-adjacent pairs are DISTINCT molecules (different H placement /
+# bond order) and must never collapse to one canonical string — a collision
+# here would silently inflate Top-N accuracy (VERDICT r2 weak item 7).
+TAUTOMER_ADJACENT = [
+    ("keto_enol", "CC(=O)C", "CC(O)=C"),
+    ("pyridone_hydroxypyridine", "O=c1cccc[nH]1", "Oc1ccccn1"),
+    ("amide_imidic_acid", "CC(=O)N", "CC(O)=N"),
+    ("imine_enamine", "CC=N", "C=CN"),
+    ("nitro_acinitro", "C[N+](=O)[O-]", "C[N+](O)=[O-]"),
+    ("naphthol_naphthalenone", "Oc1ccc2ccccc2c1", "O=C1C=Cc2ccccc2C1"),
+    ("enol_ether_vs_aldehyde", "COC=C", "CCC=O"),
+]
+
+
+@pytest.mark.parametrize("name,a,b", TAUTOMER_ADJACENT,
+                         ids=[t[0] for t in TAUTOMER_ADJACENT])
+def test_tautomer_adjacent_pairs_stay_distinct(name, a, b):
+    ca, cb = canonicalize(a), canonicalize(b)
+    assert ca is not None and cb is not None
+    assert ca != cb
+
+
+def test_dependent_ring_stereo_survives_cleaning():
+    """cis- and trans-1,4-dimethylcyclohexane: each mark alone looks
+    spurious (symmetric neighbors) but the pair encodes a diastereomer —
+    the cleaner must keep them distinct from each other AND from the
+    unannotated (stereo-unspecified) form."""
+    cis = canonicalize("C[C@H]1CC[C@H](C)CC1")
+    trans = canonicalize("C[C@H]1CC[C@@H](C)CC1")
+    flat = canonicalize("CC1CCC(C)CC1")
+    assert len({cis, trans, flat}) == 3
+    # Written from the other ring direction, cis is still cis.
+    assert canonicalize("C[C@@H]1CC[C@@H](C)CC1") == cis
 
 
 MALFORMED = [
