@@ -264,3 +264,60 @@ def test_shard_batch_accepts_bf16_numpy():
     assert "data" in str(out["a"].sharding.spec)
     np.testing.assert_array_equal(
         np.asarray(out["a"], dtype=np.float32), x)
+
+
+def test_dp_scaling_arithmetic():
+    """Auditable basis for the projected v5e-8 numbers (PROFILE.md
+    'Multi-chip projection'): under dp=N the per-device batch split, the
+    tokens/step arithmetic, and the compiled per-device FLOPs must all
+    scale as 1/N — i.e. the dp-8 program really does 1/8 of the work per
+    chip, plus only the gradient all-reduce."""
+    import __graft_entry__ as graft
+    from multimodalanalytical_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodalanalytical_tpu.training.trainer import (
+        Trainer, _device_batch, _modality_segments,
+    )
+
+    class _Tok:
+        def batch_decode(self, ids, skip_special_tokens=True):
+            return ["C"] * len(ids)
+
+    model = graft._flagship(d_model=64, layers=1, ffn=128)
+    global_batch = 8
+    flops = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_data=n_dev, n_model=1,
+                         devices=jax.devices()[:n_dev])
+        batch = dict(graft._example_batch(batch=global_batch),
+                     n_valid=global_batch)
+        trainer = Trainer(model, _Tok(), num_steps=4, lr=1e-3, mesh=mesh,
+                          seed=0)
+        state = trainer.init_state(batch)
+        db = shard_batch(_device_batch(batch), mesh)
+
+        # Per-device batch split: every addressable shard of every batched
+        # leaf holds exactly global_batch / n_dev rows.
+        for leaf in jax.tree_util.tree_leaves(db):
+            if getattr(leaf, "ndim", 0) == 0:
+                continue
+            for shard in leaf.addressable_shards:
+                assert shard.data.shape[0] == global_batch // n_dev, (
+                    leaf.shape, shard.data.shape)
+
+        # Tokens/step is a GLOBAL invariant: mesh shape never changes it.
+        dec_tokens = db["decoder_ids"].shape[0] * db["decoder_ids"].shape[1]
+        assert dec_tokens == global_batch * db["decoder_ids"].shape[1]
+
+        step = trainer._build_train_step(
+            _modality_segments(db["encoder_inputs"]))
+        compiled = step.lower(state, db).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops[n_dev] = float(analysis["flops"])
+
+    # cost_analysis reports the per-device program. dp=8 must be ~1/8 the
+    # single-device FLOPs; the all-reduce adds no flops to speak of, XLA
+    # rewrites add a little slack.
+    ratio = flops[1] / flops[8]
+    assert 6.0 < ratio <= 8.5, flops
