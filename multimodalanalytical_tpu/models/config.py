@@ -54,6 +54,22 @@ class ModelConfig:
     norm_type: str = "layernorm"          # layernorm | rmsnorm
     relative_position_bias: bool = False  # T5 bucketed attention bias
     use_absolute_positions: bool = True
+    # HF-graph-fidelity knobs (executed-reference parity for the BART/T5
+    # presets, tests/test_reference_model_parity.py):
+    attention_bias: bool = True           # q/k/v/out projection biases (T5: off)
+    attention_scale: bool = True          # 1/sqrt(head_dim) logits scale (T5: off)
+    ffn_bias: bool = True                 # FFN Dense biases (T5: off)
+    lm_head_bias: bool = True             # HF lm_heads are bias-free
+    # T5 ties lm_head to the input embedding and therefore scales decoder
+    # output by d_model**-0.5 (HF modeling_t5 T5ForConditionalGeneration);
+    # after the reference's embedding surgery the tie is broken but the
+    # config flag — and hence the scaling — remains active.
+    tied_logits_scale: bool = False
+    # HF BART's decoder embeds the target WITHOUT the per-modality norm
+    # (reference wrapper.py:70-72 wires embedding_layer_dict[target] alone)
+    # but applies its own layernorm_embedding AFTER adding positions.
+    decoder_modality_norm: bool = True
+    decoder_embedding_layernorm: bool = False
 
     vocab_size: int = 0            # filled from target tokenizer
     pad_token_id: int = 0
@@ -92,27 +108,46 @@ class ModelConfig:
 # Reference model_type -> config preset deltas.
 MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "CustomModel": {},
-    # HF BART: learned positional embeddings, post-LN layers, GELU
-    # (HF modeling_bart; the reference random-inits it from config,
-    # wrapper.py:200-218).
+    # HF BART as the reference ACTUALLY executes it (wrapper.py:32-84):
+    # post-LN layers, GELU, NO final stack norms, bias-free lm_head — and
+    # the surgery replaces BART's learned positions with the reference's
+    # SINCOS module on both stacks (wrapper.py:79-82), drops the encoder's
+    # layernorm_embedding (DummyLayer when multimodal_norm, :74-77), and
+    # wires the decoder to the RAW target embedding (no per-modality norm,
+    # :70-72) followed by HF's decoder layernorm_embedding. Forward parity
+    # pinned in tests/test_reference_model_parity.py::bart_executed_graph.
     "BartForConditionalGeneration": {
-        "positional_encoding_type": "learned",
+        "positional_encoding_type": "sin_cos",
         "post_layer_normalisation": False,
+        "final_layer_norm": False,
+        "lm_head_bias": False,
+        "decoder_modality_norm": False,
+        "decoder_embedding_layernorm": True,
     },
     # CustomBart = BART with pre-LN layers (reference custom_bart_modeling.py).
     "CustomBartForConditionalGeneration": {
         "positional_encoding_type": "learned",
         "post_layer_normalisation": True,
     },
-    # T5 (original): RMSNorm, ReLU dense FFN, bucketed relative attention
-    # bias instead of absolute positions, pre-LN (HF modeling_t5; reference
-    # wrapper.py:182-199 builds T5ForConditionalGeneration from config).
+    # HF T5 as the reference executes it (wrapper.py:182-219): RMSNorm,
+    # ReLU dense FFN, bucketed relative attention bias instead of absolute
+    # positions, pre-LN, NO biases in attention/FFN projections, NO
+    # 1/sqrt(d) attention scaling, bias-free lm_head with the tied-
+    # embedding d**-0.5 output scaling. The decoder target embedding KEEPS
+    # the per-modality norm (wrapper.py:210-216 wraps it in nn.Sequential —
+    # note the asymmetry vs BART). Forward parity pinned in
+    # tests/test_reference_model_parity.py::t5_executed_graph.
     "T5ForConditionalGeneration": {
         "norm_type": "rmsnorm",
         "activation_function": "relu",
         "relative_position_bias": True,
         "use_absolute_positions": False,
         "post_layer_normalisation": True,
+        "attention_bias": False,
+        "attention_scale": False,
+        "ffn_bias": False,
+        "lm_head_bias": False,
+        "tied_logits_scale": True,
     },
 }
 

@@ -109,7 +109,8 @@ class MultimodalEmbedding(nn.Module):
                 self.d_model, self.max_seq_len, name="pos_enc"
             )
 
-    def embed_modality(self, modality: str, modality_input: Any):
+    def embed_modality(self, modality: str, modality_input: Any,
+                       apply_norm: bool = True):
         """Returns (embedding (B, L, D), explicit positions (B, L) or None)."""
         positions: Optional[jnp.ndarray] = None
         if isinstance(modality_input, dict):
@@ -121,7 +122,7 @@ class MultimodalEmbedding(nn.Module):
                 positions = modality_input["token_indices"]
         else:
             embedding = self.embedding_layers[modality](modality_input)
-        if self.embedding_norm:
+        if self.embedding_norm and apply_norm:
             embedding = self.embedding_norms[modality](embedding.astype(jnp.float32))
             embedding = embedding.astype(self.dtype)
         return embedding, positions
@@ -130,11 +131,15 @@ class MultimodalEmbedding(nn.Module):
         self,
         inputs: Dict[str, Any],
         decode_positions: Optional[jnp.ndarray] = None,
+        apply_norm: bool = True,
     ) -> jnp.ndarray:
         """Embed + concat modalities along the sequence axis.
 
         ``decode_positions`` (B, L) overrides positional-encoding positions
         (incremental decoding embeds one token at absolute position t).
+        ``apply_norm=False`` skips the per-modality norms — the executed
+        HF-BART graph wires the decoder to the RAW target embedding
+        (reference wrapper.py:70-72) while the norm params still exist.
         """
         parts = []
         position_parts = []
@@ -148,7 +153,8 @@ class MultimodalEmbedding(nn.Module):
         # target-modality decode calls pass single keys not in encoder order
         ordered += [m for m in inputs if m not in ordered]
         for modality in ordered:
-            embedding, explicit_positions = self.embed_modality(modality, inputs[modality])
+            embedding, explicit_positions = self.embed_modality(
+                modality, inputs[modality], apply_norm=apply_norm)
             parts.append(embedding)
             seg_len = embedding.shape[1]
             if explicit_positions is not None:

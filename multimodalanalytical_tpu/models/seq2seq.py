@@ -62,28 +62,65 @@ class Seq2SeqModel(nn.Module):
             cfg.encoder_layers, cfg.d_model, cfg.encoder_attention_heads,
             cfg.encoder_ffn_dim, cfg.dropout, cfg.activation_function,
             cfg.gated_linear, cfg.post_layer_normalisation,
-            final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            final_norm=cfg.final_layer_norm, dtype=dtype,
+            use_flash=cfg.use_flash_attention,
             norm_type=cfg.norm_type,
             relative_bias=cfg.relative_position_bias,
+            attention_bias=cfg.attention_bias,
+            attention_scale=cfg.attention_scale,
+            ffn_bias=cfg.ffn_bias,
             name="encoder",
         )
         self.decoder = Decoder(
             cfg.decoder_layers, cfg.d_model, cfg.decoder_attention_heads,
             cfg.decoder_ffn_dim, cfg.dropout, cfg.activation_function,
             cfg.gated_linear, cfg.post_layer_normalisation,
-            final_norm=True, dtype=dtype, use_flash=cfg.use_flash_attention,
+            final_norm=cfg.final_layer_norm, dtype=dtype,
+            use_flash=cfg.use_flash_attention,
             use_beam_kernel=getattr(cfg, "use_beam_kernel", True),
             norm_type=cfg.norm_type,
             relative_bias=cfg.relative_position_bias,
+            attention_bias=cfg.attention_bias,
+            attention_scale=cfg.attention_scale,
+            ffn_bias=cfg.ffn_bias,
             name="decoder",
         )
         self.lm_head = nn.Dense(
-            cfg.vocab_size, dtype=jnp.float32,
+            cfg.vocab_size, dtype=jnp.float32, use_bias=cfg.lm_head_bias,
             kernel_init=nn.initializers.xavier_uniform(), name="lm_head",
         )
+        if cfg.decoder_embedding_layernorm:
+            # HF BART's decoder layernorm_embedding: applied AFTER adding
+            # positional encodings (modeling_bart BartDecoder.forward); the
+            # encoder's counterpart is replaced by a DummyLayer in the
+            # reference's surgery (wrapper.py:74-77).
+            self.decoder_emb_norm = nn.LayerNorm(
+                epsilon=1e-5, dtype=jnp.float32, name="decoder_emb_norm",
+            )
         if cfg.align_config is not None:
             self.align_network = AlignNetwork(cfg.align_config, dtype=jnp.float32,
                                               name="align_network")
+
+    def _embed_target(self, inputs, decode_positions=None):
+        """Decoder-side target embedding honoring the preset's decoder
+        embedding semantics (per-modality norm on/off + optional HF-BART
+        post-position layernorm_embedding)."""
+        cfg = self.config
+        embeds = self.embedding(
+            inputs, decode_positions=decode_positions,
+            apply_norm=cfg.decoder_modality_norm,
+        )
+        if cfg.decoder_embedding_layernorm:
+            embeds = self.decoder_emb_norm(
+                embeds.astype(jnp.float32)).astype(embeds.dtype)
+        return embeds
+
+    def _logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """lm_head with T5's tied-embedding d**-0.5 output scaling."""
+        hidden = hidden.astype(jnp.float32)
+        if self.config.tied_logits_scale:
+            hidden = hidden * (self.config.d_model ** -0.5)
+        return self.lm_head(hidden)
 
     # ------------------------------------------------------------- encode
     def encode(
@@ -103,7 +140,7 @@ class Seq2SeqModel(nn.Module):
         encoder_mask: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        embeds = self.embedding({self.target_modality: decoder_ids})
+        embeds = self._embed_target({self.target_modality: decoder_ids})
         seq_len = decoder_ids.shape[1]
         # Causal + padding bias. The reference additionally masks padded
         # target positions via tgt_key_padding_mask (custom_modeling.py:316).
@@ -112,7 +149,7 @@ class Seq2SeqModel(nn.Module):
         hidden, _ = self.decoder(
             embeds, encoder_hidden, self_bias, cross_bias, deterministic
         )
-        return self.lm_head(hidden.astype(jnp.float32))
+        return self._logits(hidden)
 
     # --------------------------------------------------------- decode (step)
     def init_cache(self, batch_size: int, max_length: int, encoder_hidden: jnp.ndarray):
@@ -190,7 +227,7 @@ class Seq2SeqModel(nn.Module):
         """Beam decode step; returns (logits (B, K, V), updated self caches)."""
         batch, beams = token_ids.shape
         positions = jnp.full((batch * beams, 1), position, dtype=jnp.int32)
-        embeds = self.embedding(
+        embeds = self._embed_target(
             {self.target_modality: token_ids.reshape(batch * beams, 1)},
             decode_positions=positions,
         )
@@ -201,9 +238,7 @@ class Seq2SeqModel(nn.Module):
         hidden, new_selves = self.decoder.beam_decode_step(
             x, cache["self"], ancestry, cache["cross"], cross_bias, position
         )
-        logits = self.lm_head(
-            hidden.astype(jnp.float32)
-        ).reshape(batch, beams, -1)
+        logits = self._logits(hidden).reshape(batch, beams, -1)
         return logits, new_selves
 
     def decode_step(
@@ -216,14 +251,14 @@ class Seq2SeqModel(nn.Module):
         """Single-token decode with KV cache; returns (logits (B, V), cache)."""
         batch = token_ids.shape[0]
         positions = jnp.full((batch, 1), position, dtype=jnp.int32)
-        embeds = self.embedding(
+        embeds = self._embed_target(
             {self.target_modality: token_ids}, decode_positions=positions
         )
         cross_bias = make_attention_bias(encoder_mask)
         hidden, new_selves = self.decoder.decode_step(
             embeds, cache["self"], cache["cross"], cross_bias, position
         )
-        logits = self.lm_head(hidden.astype(jnp.float32))
+        logits = self._logits(hidden)
         return logits[:, 0, :], {"self": new_selves, "cross": cache["cross"]}
 
     # ----------------------------------------------------------- training

@@ -38,21 +38,22 @@ class FeedForward(nn.Module):
     activation: str = "gelu"
     gated_linear: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True          # HF T5's DenseReluDense is bias-free
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         init = nn.initializers.xavier_uniform()
         act = _ACTIVATIONS[self.activation]
         hidden = act(nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=init,
-                              name="linear1")(x))
+                              use_bias=self.use_bias, name="linear1")(x))
         if self.gated_linear:
             # GEGLU (reference custom_modeling.py:137-152).
             gate = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=init,
-                            name="gate")(x)
+                            use_bias=self.use_bias, name="gate")(x)
             hidden = hidden * gate
         hidden = Dropout(self.dropout, deterministic=deterministic)(hidden)
         out = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init,
-                       name="linear2")(hidden)
+                       use_bias=self.use_bias, name="linear2")(hidden)
         return Dropout(self.dropout, deterministic=deterministic)(out)
 
     def decode_fused(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +64,7 @@ class FeedForward(nn.Module):
         models (tests, goldens) are bit-identical."""
         kernel_ok = (
             self.dtype == jnp.bfloat16
+            and self.use_bias
             and self.activation == "gelu"
             and x.ndim == 2
             and self.d_model % 128 == 0
@@ -108,13 +110,20 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     norm_type: str = "layernorm"
+    attention_bias: bool = True
+    attention_scale: bool = True
+    ffn_bias: bool = True
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool):
         attn = MultiHeadAttention(self.num_heads, self.d_model, dtype=self.dtype,
-                                  use_flash=self.use_flash, name="self_attn")
+                                  use_flash=self.use_flash,
+                                  use_bias=self.attention_bias,
+                                  scale_qk=self.attention_scale,
+                                  name="self_attn")
         ff = FeedForward(self.d_model, self.ffn_dim, self.dropout, self.activation,
-                         self.gated_linear, dtype=self.dtype, name="ff")
+                         self.gated_linear, dtype=self.dtype,
+                         use_bias=self.ffn_bias, name="ff")
         drop = Dropout(self.dropout, deterministic=deterministic)
 
         if self.norm_first:
@@ -142,20 +151,26 @@ class DecoderLayer(nn.Module):
     use_flash: bool = False
     use_beam_kernel: bool = True
     norm_type: str = "layernorm"
+    attention_bias: bool = True
+    attention_scale: bool = True
+    ffn_bias: bool = True
 
     def setup(self) -> None:
         self.self_attn = MultiHeadAttention(
             self.num_heads, self.d_model, dtype=self.dtype,
             use_flash=self.use_flash, use_beam_kernel=self.use_beam_kernel,
+            use_bias=self.attention_bias, scale_qk=self.attention_scale,
             name="self_attn",
         )
         self.cross_attn = MultiHeadAttention(
             self.num_heads, self.d_model, dtype=self.dtype, mode="cross",
+            use_bias=self.attention_bias, scale_qk=self.attention_scale,
             name="cross_attn",
         )
         self.ff = FeedForward(
             self.d_model, self.ffn_dim, self.dropout, self.activation,
-            self.gated_linear, dtype=self.dtype, name="ff",
+            self.gated_linear, dtype=self.dtype, use_bias=self.ffn_bias,
+            name="ff",
         )
         self.norm1 = _norm("norm1", self.norm_type)
         self.norm2 = _norm("norm2", self.norm_type)
@@ -304,6 +319,9 @@ class Encoder(nn.Module):
     use_flash: bool = False
     norm_type: str = "layernorm"
     relative_bias: bool = False
+    attention_bias: bool = True
+    attention_scale: bool = True
+    ffn_bias: bool = True
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool):
@@ -318,7 +336,10 @@ class Encoder(nn.Module):
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
                 self.activation, self.gated_linear, self.norm_first,
                 dtype=self.dtype, use_flash=self.use_flash,
-                norm_type=self.norm_type, name=f"layer_{i}",
+                norm_type=self.norm_type,
+                attention_bias=self.attention_bias,
+                attention_scale=self.attention_scale,
+                ffn_bias=self.ffn_bias, name=f"layer_{i}",
             )(x, bias, deterministic)
         if self.final_norm:
             x = _norm("final_norm", self.norm_type)(x).astype(self.dtype)
@@ -340,6 +361,9 @@ class Decoder(nn.Module):
     use_beam_kernel: bool = True
     norm_type: str = "layernorm"
     relative_bias: bool = False
+    attention_bias: bool = True
+    attention_scale: bool = True
+    ffn_bias: bool = True
 
     def setup(self) -> None:
         self.layers = [
@@ -348,7 +372,10 @@ class Decoder(nn.Module):
                 self.activation, self.gated_linear, self.norm_first,
                 dtype=self.dtype, use_flash=self.use_flash,
                 use_beam_kernel=self.use_beam_kernel,
-                norm_type=self.norm_type, name=f"layer_{i}",
+                norm_type=self.norm_type,
+                attention_bias=self.attention_bias,
+                attention_scale=self.attention_scale,
+                ffn_bias=self.ffn_bias, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]

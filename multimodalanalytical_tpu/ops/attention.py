@@ -68,12 +68,16 @@ def dot_product_attention(
     v: jnp.ndarray,  # (B, H, Lk, Dh)
     bias: Optional[jnp.ndarray],
     use_flash: bool = False,
+    scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    if use_flash:
+    # The flash kernel bakes the 1/sqrt(Dh) scale; unscaled attention
+    # (T5 fidelity, scale=1.0) takes the XLA path instead.
+    if use_flash and scale is None:
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias)
-    scale = q.shape[-1] ** -0.5
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
@@ -114,18 +118,23 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = False
     use_beam_kernel: bool = True
     mode: str = "self"             # "self" (fused qkv) | "cross" (q + fused kv)
+    use_bias: bool = True          # HF T5 projections are bias-free
+    scale_qk: bool = True          # HF T5 skips the 1/sqrt(Dh) logits scale
 
     def setup(self) -> None:
         init = nn.initializers.xavier_uniform()
         if self.mode == "self":
             self.qkv_proj = nn.Dense(3 * self.d_model, dtype=self.dtype,
+                                     use_bias=self.use_bias,
                                      kernel_init=_block_xavier(3))
         else:
             self.q_proj = nn.Dense(self.d_model, dtype=self.dtype,
-                                   kernel_init=init)
+                                   use_bias=self.use_bias, kernel_init=init)
             self.kv_proj = nn.Dense(2 * self.d_model, dtype=self.dtype,
+                                    use_bias=self.use_bias,
                                     kernel_init=_block_xavier(2))
-        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=init)
+        self.out_proj = nn.Dense(self.d_model, dtype=self.dtype,
+                                 use_bias=self.use_bias, kernel_init=init)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
         b, l, _ = x.shape
@@ -182,7 +191,7 @@ class MultiHeadAttention(nn.Module):
 
         # Keep cache operands in their storage dtype (bf16); fp32
         # accumulation comes from preferred_element_type.
-        scale = head_dim ** -0.5
+        scale = head_dim ** -0.5 if self.scale_qk else 1.0
         logits = jnp.einsum(
             "bhd,blhd->bhl", (q * scale).astype(k.dtype), k,
             preferred_element_type=jnp.float32,
@@ -272,7 +281,7 @@ class MultiHeadAttention(nn.Module):
             and (quantized or probe.dtype == jnp.bfloat16)
         )
         if (beams > 1 and kernel_ok and extra_bias is None
-                and self.use_beam_kernel
+                and self.use_beam_kernel and self.scale_qk
                 and jax.default_backend() != "cpu"):
             # Fused attention + cache append (+ quantize): the kernel owns
             # the whole cache round-trip — no XLA dynamic_update_slice, no
@@ -367,7 +376,7 @@ class MultiHeadAttention(nn.Module):
             2, batch, length, beams, self.num_heads, head_dim
         )
 
-        scale = head_dim ** -0.5
+        scale = head_dim ** -0.5 if self.scale_qk else 1.0
         # (B, N, H, K', L): q of each live beam vs the cache of each slot.
         qk_all = jnp.einsum(
             "bnhd,blkhd->bnhkl", (q * scale).astype(kv.dtype), kv[0],
@@ -414,7 +423,8 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.d_model // self.num_heads
         q_flat = self.q_proj(x)                  # (B*K, D)
 
-        kernel_ok = self.d_model % 128 == 0 and head_dim % 64 == 0
+        kernel_ok = (self.d_model % 128 == 0 and head_dim % 64 == 0
+                     and self.scale_qk)
         if (kernel_ok and self.use_beam_kernel
                 and jax.default_backend() != "cpu"):
             from .beam_attention import beam_cross_attention
@@ -434,7 +444,7 @@ class MultiHeadAttention(nn.Module):
         ls = kv[0].shape[1]
         k = kv[0].reshape(batch, ls, self.num_heads, head_dim)
         v = kv[1].reshape(batch, ls, self.num_heads, head_dim)
-        scale = head_dim ** -0.5
+        scale = head_dim ** -0.5 if self.scale_qk else 1.0
         logits = jnp.einsum(
             "bkhd,blhd->bkhl", (q * scale).astype(k.dtype), k,
             preferred_element_type=jnp.float32,
@@ -456,7 +466,8 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray],                 # (B, 1, 1, Ls)
     ) -> jnp.ndarray:
         q = self._split(self.q_proj(x))              # (B, H, 1, Dh)
-        out = dot_product_attention(q, kv[0], kv[1], bias)
+        out = dot_product_attention(
+            q, kv[0], kv[1], bias, scale=None if self.scale_qk else 1.0)
         batch = x.shape[0]
         out = out.transpose(0, 2, 1, 3).reshape(batch, 1, self.d_model)
         return self.out_proj(out)
@@ -500,7 +511,8 @@ class MultiHeadAttention(nn.Module):
             k, v = k_cache, v_cache
             new_cache = (k_cache, v_cache)
 
-        out = dot_product_attention(q, k, v, bias, use_flash=self.use_flash)
+        out = dot_product_attention(q, k, v, bias, use_flash=self.use_flash,
+                                    scale=None if self.scale_qk else 1.0)
         b, h, lq, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dh)
         return self.out_proj(out), new_cache

@@ -147,6 +147,152 @@ def build_inputs(case, rng):
     return inputs, enc_mask, dec_ids, dec_mask, labels, align_target
 
 
+def _xavier_init_all(model):
+    """HFWrapper._init_params (reference wrapper.py:321-327): xavier-uniform
+    every parameter with dim > 1 — the reference applies this to the WHOLE
+    wrapper after construction, so HF's own init never survives."""
+    for p in model.parameters():
+        if p.dim() > 1:
+            torch.nn.init.xavier_uniform_(p)
+
+
+def _save_case(out, name, model, embedding, inputs, enc_mask, dec_ids,
+               dec_mask, labels, logits, loss):
+    prefix = f"{name}/"
+    for pname, tensor in model.state_dict().items():
+        out[prefix + "param/" + pname] = tensor.detach().numpy()
+    for k, v in inputs.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                out[prefix + f"in/{k}.{kk}"] = vv
+        else:
+            out[prefix + f"in/{k}"] = v
+    out[prefix + "in/enc_mask"] = enc_mask
+    out[prefix + "in/dec_ids"] = dec_ids
+    out[prefix + "in/dec_mask"] = dec_mask
+    out[prefix + "in/labels"] = labels
+    out[prefix + "out/logits"] = logits
+    out[prefix + "out/loss"] = np.float64(loss)
+
+
+def add_hf_bart(out):
+    """The BART graph the reference ACTUALLY executes: HF
+    BartForConditionalGeneration built from config (wrapper.py:51-62) with
+    the reference's surgery applied verbatim (wrapper.py:64-84): shared /
+    encoder embeddings -> MultimodalEmbedding, decoder embedding -> the RAW
+    target embedding table, encoder layernorm_embedding -> DummyLayer
+    (multimodal_norm=True), both embed_positions -> the reference's
+    SincCosPositionalEncoding. Forward through HFWrapper.forward's exact
+    call (wrapper.py:392-407: inputs_embeds from the multimodal embedding,
+    HF handles positions/decoder internally)."""
+    from transformers import BartConfig, BartForConditionalGeneration
+
+    from analytical_fm.modeling.utils import (
+        DummyLayer, SincCosPositionalEncoding,
+    )
+
+    rng = np.random.default_rng(42)
+    data_config = build_data_config({})
+    cfg = BartConfig(
+        vocab_size=VOCAB, pad_token_id=0, bos_token_id=2, eos_token_id=3,
+        decoder_start_token_id=2, forced_eos_token_id=3,
+        d_model=D_MODEL, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, dropout=0.1,
+        activation_function="gelu", max_position_embeddings=64,
+        scale_embedding=False,
+    )
+    model = BartForConditionalGeneration(cfg)
+    embedding = MultimodalEmbedding(data_config, D_MODEL, True)
+    # --- surgery, wrapper.py:64-82 ---
+    model.model.shared = embedding
+    model.model.encoder.embed_tokens = embedding
+    model.model.decoder.embed_tokens = embedding.embedding_layer_dict["Smiles"]
+    model.model.encoder.layernorm_embedding = DummyLayer()
+
+    # transformers 4.57 calls embed_positions(input, past_kv_len,
+    # position_ids=...); the reference's module (written for the older HF
+    # API) accepts only positional extras (forward(inputs, *args)). Shim the
+    # call signature ONLY — the module itself, and therefore the math, is
+    # the reference's: it ignores every extra argument and always returns
+    # rows [0..L) of its sincos buffer.
+    class _PosShim(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, inputs, *args, **kwargs):
+            return self.inner(inputs, *args)
+
+    pos = _PosShim(SincCosPositionalEncoding(D_MODEL))
+    model.model.encoder.embed_positions = pos
+    model.model.decoder.embed_positions = pos
+    _xavier_init_all(model)
+    model.eval()
+
+    inputs, enc_mask, dec_ids, dec_mask, labels, _ = build_inputs({}, rng)
+    with torch.no_grad():
+        embeds = embedding({k: torch.tensor(v) for k, v in inputs.items()})
+        res = model(
+            inputs_embeds=embeds,
+            attention_mask=torch.tensor(enc_mask),
+            decoder_input_ids=torch.tensor(dec_ids),
+            decoder_attention_mask=torch.tensor(dec_mask),
+            labels=torch.tensor(labels),
+        )
+    _save_case(out, "bart_executed_graph", model, embedding, inputs,
+               enc_mask, dec_ids, dec_mask, labels,
+               res.logits.numpy(), res.loss.item())
+    print("bart_executed_graph loss", res.loss.item())
+
+
+def add_hf_t5(out):
+    """The T5 graph the reference executes: HF T5ForConditionalGeneration
+    from config (wrapper.py:192-200) with the surgery of wrapper.py:203-218
+    — shared/encoder embeddings -> MultimodalEmbedding; decoder embedding ->
+    Sequential(target embedding, target norm) (multimodal_norm=True). Note
+    tie_word_embeddings stays True in the config, so HF still applies the
+    d_model**-0.5 decoder-output scaling even though the embedding surgery
+    broke the actual weight tie."""
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    rng = np.random.default_rng(42)
+    data_config = build_data_config({})
+    cfg = T5Config(
+        vocab_size=VOCAB, pad_token_id=0, eos_token_id=3,
+        decoder_start_token_id=2, d_model=D_MODEL, d_kv=D_MODEL // 4,
+        d_ff=64, num_layers=2, num_heads=4, dropout_rate=0.1,
+        relative_attention_num_buckets=32, relative_attention_max_distance=128,
+    )
+    model = T5ForConditionalGeneration(cfg)
+    embedding = MultimodalEmbedding(data_config, D_MODEL, True)
+    # --- surgery, wrapper.py:203-218 ---
+    model.shared = embedding
+    model.encoder.set_input_embeddings(embedding)
+    target_embedding = torch.nn.Sequential(
+        embedding.embedding_layer_dict["Smiles"],
+        embedding.embedding_norm_dict["Smiles"],
+    )
+    model.decoder.set_input_embeddings(target_embedding)
+    _xavier_init_all(model)
+    model.eval()
+
+    inputs, enc_mask, dec_ids, dec_mask, labels, _ = build_inputs({}, rng)
+    with torch.no_grad():
+        embeds = embedding({k: torch.tensor(v) for k, v in inputs.items()})
+        res = model(
+            inputs_embeds=embeds,
+            attention_mask=torch.tensor(enc_mask),
+            decoder_input_ids=torch.tensor(dec_ids),
+            decoder_attention_mask=torch.tensor(dec_mask),
+            labels=torch.tensor(labels),
+        )
+    _save_case(out, "t5_executed_graph", model, embedding, inputs,
+               enc_mask, dec_ids, dec_mask, labels,
+               res.logits.numpy(), res.loss.item())
+    print("t5_executed_graph loss", res.loss.item())
+
+
 def main():
     out = {}
     for name, case in CASES.items():
@@ -214,6 +360,8 @@ def main():
             align_loss.item() if align_loss is not None else 0.0)
         print(name, "loss", res.loss.item())
 
+    add_hf_bart(out)
+    add_hf_t5(out)
     np.savez_compressed(HERE / "reference_model_goldens.npz", **out)
     print("wrote", HERE / "reference_model_goldens.npz", len(out), "arrays")
 
