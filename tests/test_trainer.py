@@ -480,3 +480,46 @@ def test_fit_is_deterministic_per_seed(setup):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("model_type", [
+    "BartForConditionalGeneration", "T5ForConditionalGeneration",
+    "CustomBartForConditionalGeneration",
+])
+def test_hf_preset_fit_and_beam_predict(setup, model_type):
+    """The graph-faithful HF presets must train and beam-decode end to end
+    (rel-bias decode steps, tied d**-0.5 logits scaling, bias-free
+    projections, BART's decoder layernorm_embedding) — forward parity is
+    pinned in tests/test_reference_model_parity.py; this drives the paths
+    that parity test can't (optimizer step, KV-cached beam search)."""
+    import numpy as np
+
+    from multimodalanalytical_tpu.models import Seq2SeqModel
+    from multimodalanalytical_tpu.models.config import resolve_model_config
+
+    table, config, preps, collator, _ = setup
+    cfg = resolve_model_config(
+        {
+            "model_type": model_type, "d_model": 32,
+            "encoder_layers": 1, "decoder_layers": 1,
+            "encoder_attention_heads": 4, "decoder_attention_heads": 4,
+            "encoder_ffn_dim": 64, "decoder_ffn_dim": 64, "dropout": 0.1,
+            "max_position_embeddings": 64, "max_target_length": 16,
+        },
+        vocab_size=config["Smiles"]["vocab_size"],
+        pad_token_id=config["Smiles"]["pad_token_id"],
+        bos_token_id=2, eos_token_id=3,
+    )
+    model = Seq2SeqModel(config=cfg, data_config=config,
+                         target_modality="Smiles")
+    loader = DataLoader(table, collator, batch_size=8, prefetch=0)
+    trainer = Trainer(model, preps["Smiles"], num_steps=4, lr=1e-3, seed=0,
+                      n_beams=3)
+    state = trainer.init_state(next(iter(loader)))
+    state = trainer.fit(state, loader, loader, epochs=1,
+                        limit_val_batches=0.5)
+    leaves = __import__("jax").tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    out = trainer.predict(state, loader, n_beams=3)
+    assert len(out["predictions"]) == len(table)
+    assert all(len(beams) == 3 for beams in out["predictions"])
