@@ -40,13 +40,42 @@ def _cached_canonical(smiles: str) -> Optional[str]:
     return canonicalize(smiles)
 
 
-def _clean(sample: str, canonicalise: bool) -> Optional[str]:
+def _strip(sample: str) -> str:
     for token in _SPECIAL_TOKENS:
         sample = sample.replace(token, "")
-    sample = sample.replace(" ", "")
+    return sample.replace(" ", "")
+
+
+def _clean(sample: str, canonicalise: bool) -> Optional[str]:
+    sample = _strip(sample)
     if canonicalise:
         return _cached_canonical(sample)
     return sample
+
+
+def _warm_canonical_cache(raw: Sequence[str], min_unique: int = 2000) -> None:
+    """Canonicalize the unique strings of a large scoring batch in parallel.
+
+    The engine call is ctypes (releases the GIL) and dominates the cost
+    (~50-230 us/string), so a thread pool scales near-linearly; the scoring
+    loop then hits ``_cached_canonical`` warm. An 800k-beam mixture predict
+    drops from ~10 core-minutes of serial canonicalization to seconds.
+    Small batches (validation loops) skip the pool overhead."""
+    import os
+
+    # Measured on a 1-core box: threads only add overhead (0.29s -> 0.41s
+    # on 5k strings); the pool pays off only with real parallelism.
+    workers = min(32, os.cpu_count() or 1)
+    if workers < 2:
+        return
+    unique = {_strip(s) for s in raw}
+    if len(unique) < min_unique:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # list() drains the iterator so every future completes here.
+        list(pool.map(_cached_canonical, unique, chunksize=256))
 
 
 def calc_sampling_metrics(
@@ -69,6 +98,11 @@ def calc_sampling_metrics(
         return {}
     n_beams = len(samples[0])
 
+    if molecules:
+        flat: List[str] = list(targets)
+        for beams in samples:
+            flat.extend(beams)
+        _warm_canonical_cache(flat)
     cleaned_targets = [_clean(t, molecules) for t in targets]
     ranks = np.full(len(targets), n_beams, dtype=np.int64)
     for i, beams in enumerate(samples):
