@@ -67,16 +67,16 @@ TYPICAL_DECODE_LEN = 48
 
 
 def main() -> None:
-    from multimodalanalytical_tpu.tpu_guard import (
-        acquire_tpu_lock, ensure_backend_alive,
-    )
+    from multimodalanalytical_tpu.tpu_guard import guard_if_tpu
 
     # Two concurrent TPU jobs once raced the single-client relay into a
-    # >10h outage (CLAUDE.md); hold the machine-wide lock for the whole run.
-    acquire_tpu_lock(timeout_s=float(os.environ.get("BENCH_LOCK_TIMEOUT_S", 300)))
-    # Hang-safe init: a wedged relay hangs jax.devices() forever; the
-    # subprocess probe turns that into a fast structured-JSON failure.
-    ensure_backend_alive()
+    # >10h outage (CLAUDE.md): when the session targets the axon backend,
+    # hold the machine-wide lock for the whole run and probe backend init
+    # in a hang-safe subprocess (a wedged relay hangs jax.devices()
+    # forever; the probe turns that into a fast structured-JSON failure).
+    # guard_if_tpu honors JAX_PLATFORMS=cpu FIRST (re-asserting it over the
+    # sitecustomize), so a CPU smoke run never touches the lock or relay.
+    guard_if_tpu(timeout_s=float(os.environ.get("BENCH_LOCK_TIMEOUT_S", 300)))
 
     from __graft_entry__ import _example_batch, _flagship
     from multimodalanalytical_tpu.generation.beam_search import beam_search

@@ -699,6 +699,128 @@ bool perceive_bond_stereo(Mol* mol) {
 }
 
 // Resolve implicit hydrogens & validate valences. Returns false on invalid.
+// Fold explicit neutral hydrogens into their heavy neighbor's implicit
+// count (RDKit MolFromSmiles removeHs parity): without this, C([H])O and
+// CO canonicalize to different strings for the same molecule, deflating
+// exact-match Top-N against targets written the other way. Folds only
+// plain [H]: isotopes ([2H]), charges ([H+]/[H-]), H-H bonds, bridging or
+// lone H, and H carrying stereo all keep their explicit node, like RDKit.
+//
+// Three invariants are preserved:
+//  * chirality — the folded H moves from its written neighbor slot k to
+//    the implicit-H slot (right after the preceding atom, or first when
+//    the atom has none); an odd slot distance flips the mark, making the
+//    folded state identical to parsing the equivalent bracket-H string;
+//  * E/Z — a directional mark riding the H bond transfers to the end's
+//    other unmarked single bond with the opposite side (RDKit RemoveHs
+//    does the same), so [H]/C(C)=C/F keeps its stereo;
+//  * valence — folded H per atom is recorded in *min_h and checked
+//    against the resolved implicit count, so C([H])([H])([H])([H])[H]
+//    stays invalid instead of silently losing a hydrogen.
+void fold_explicit_hydrogens(Mol* mol, std::vector<int>* min_h) {
+  const int n = static_cast<int>(mol->atoms.size());
+  std::vector<bool> drop_atom(n, false);
+  std::vector<bool> drop_bond(mol->bonds.size(), false);
+  std::vector<int> folded(n, 0);
+  bool any = false;
+
+  for (int i = 0; i < n; ++i) {
+    Atom& h = mol->atoms[i];
+    if (h.z != 1 || h.isotope != 0 || h.charge != 0 || h.aromatic ||
+        h.chirality != CHI_NONE || h.explicit_h > 0) {
+      continue;
+    }
+    if (h.bonds.size() != 1) continue;     // lone [H] or bridging H
+    const int bidx = h.bonds[0];
+    Bond& bond = mol->bonds[bidx];
+    if (bond.order != BOND_SINGLE) continue;
+    const int nb = bond.other(i);
+    Atom& heavy = mol->atoms[nb];
+    if (heavy.z <= 1) continue;            // [H][H]
+
+    // E/Z direction transfer (only meaningful next to a double bond).
+    if (bond.dir != 0) {
+      bool near_double = false;
+      for (int eb : heavy.bonds) {
+        near_double |= (mol->bonds[eb].order == BOND_DOUBLE);
+      }
+      if (near_double) {
+        const int side_h = (bond.a == nb) ? bond.dir : -bond.dir;
+        for (int eb : heavy.bonds) {
+          Bond& e = mol->bonds[eb];
+          if (eb == bidx || e.order != BOND_SINGLE || e.dir != 0) continue;
+          if (drop_bond[eb]) continue;
+          e.dir = static_cast<int8_t>((e.a == nb) ? -side_h : side_h);
+          break;
+        }
+      }
+    }
+
+    // Chirality: written slot k -> the implicit-H slot j.
+    if (heavy.chirality != CHI_NONE) {
+      int k = 0;
+      for (size_t t = 0; t < heavy.bonds.size(); ++t) {
+        if (heavy.bonds[t] == bidx) k = static_cast<int>(t);
+      }
+      bool has_prev = false;
+      for (int eb : heavy.bonds) {
+        if (eb == bidx || drop_bond[eb]) continue;
+        if (mol->bonds[eb].other(nb) < nb) has_prev = true;
+      }
+      const int j = has_prev ? 1 : 0;
+      if (((k - j) & 1) != 0) {
+        heavy.chirality = (heavy.chirality == CHI_CW) ? CHI_CCW : CHI_CW;
+      }
+    }
+
+    if (heavy.explicit_h >= 0) {
+      heavy.explicit_h += 1;               // bracket atom: count is explicit
+    } else if (heavy.aromatic) {
+      // Aromatic defaults can't absorb an extra H (n([H]) is pyrrole-type);
+      // pin the count as if written in the bracket.
+      heavy.explicit_h = 1;
+    }
+    folded[nb] += 1;
+    drop_atom[i] = true;
+    drop_bond[bidx] = true;
+    any = true;
+  }
+  if (!any) {
+    min_h->assign(n, 0);
+    return;
+  }
+
+  // Compact atoms and bonds, remapping indices; written order preserved.
+  std::vector<int> atom_map(n, -1), bond_map(mol->bonds.size(), -1);
+  Mol compact;
+  min_h->clear();
+  for (int i = 0; i < n; ++i) {
+    if (drop_atom[i]) continue;
+    atom_map[i] = static_cast<int>(compact.atoms.size());
+    Atom a = mol->atoms[i];
+    a.bonds.clear();
+    compact.atoms.push_back(a);
+    min_h->push_back(folded[i]);
+  }
+  for (size_t b = 0; b < mol->bonds.size(); ++b) {
+    if (drop_bond[b]) continue;
+    bond_map[b] = static_cast<int>(compact.bonds.size());
+    Bond e = mol->bonds[b];
+    e.a = atom_map[e.a];
+    e.b = atom_map[e.b];
+    compact.bonds.push_back(e);
+  }
+  for (int i = 0; i < n; ++i) {
+    if (drop_atom[i]) continue;
+    for (int eb : mol->atoms[i].bonds) {
+      if (eb >= 0 && !drop_bond[eb]) {
+        compact.atoms[atom_map[i]].bonds.push_back(bond_map[eb]);
+      }
+    }
+  }
+  *mol = std::move(compact);
+}
+
 bool sanitize(Mol* mol) {
   // First pass for non-aromatic-perception-dependent H counts so that
   // aromaticity perception sees correct connectivity.
@@ -711,6 +833,8 @@ bool sanitize(Mol* mol) {
     }
     atom.bonds = clean;
   }
+  std::vector<int> min_h;
+  fold_explicit_hydrogens(mol, &min_h);
   for (size_t i = 0; i < mol->atoms.size(); ++i) {
     Atom& atom = mol->atoms[i];
     if (atom.explicit_h >= 0) {
@@ -746,6 +870,9 @@ bool sanitize(Mol* mol) {
       }
     }
     if (!fits) return false;  // hypervalent organic-subset atom => invalid
+    // Folded explicit hydrogens must fit inside the resolved implicit
+    // count (C([H])([H])([H])([H])[H] stays invalid, not CH4).
+    if (n_h < min_h[i]) return false;
     atom.n_h = n_h;
   }
 
@@ -1297,6 +1424,16 @@ void drop_uninformative_stereo(Mol* mol) {
   // stereocenters in predictions scored at decode rate — at one extra
   // rank refinement instead of k+1 extra canonicalizations (measured
   // 232 us -> ~80 us per marked string).
+  // Marks that can NEVER be stereogenic are cleared outright (the
+  // inversion test can't judge them: with two implicit hydrogens the
+  // writer has fewer than 3 heavy neighbors to permute and emits the
+  // parity verbatim, so flipping always changes the string).
+  for (auto& a : mol->atoms) {
+    if (a.chirality == CHI_NONE) continue;
+    const int degree = static_cast<int>(a.bonds.size());
+    if (a.n_h >= 2 || degree + a.n_h < 3) a.chirality = CHI_NONE;
+  }
+
   const std::vector<int> ranks = refine_ranks(*mol, initial_keys(*mol));
   std::vector<int> suspect_atoms;
   std::vector<int> suspect_bonds;

@@ -106,8 +106,10 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "checkpoint_monitor", "val_molecular_accuracy"),
         checkpoint_every_n_vals=config["trainer"].get(
             "checkpoint_every_n_vals", 1) or 1,
+        # `or` also maps an explicit YAML null to the default (the trainer
+        # block uses nulls idiomatically, e.g. val_check_interval: null).
         checkpoint_wait_timeout_s=config["trainer"].get(
-            "checkpoint_wait_timeout_s", 600.0),
+            "checkpoint_wait_timeout_s") or 600.0,
     )
 
     sample_batch = next(iter(loaders["train"]))

@@ -68,7 +68,11 @@ def _warm_canonical_cache(raw: Sequence[str], min_unique: int = 2000) -> None:
     workers = min(32, os.cpu_count() or 1)
     if workers < 2:
         return
-    unique = {_strip(s) for s in raw}
+    # Dedup PRESERVING scoring order, and warm at most what the LRU can
+    # hold: beyond the cap, arbitrary-order warming would evict the very
+    # entries the scoring loop reads first.
+    cap = _cached_canonical.cache_info().maxsize - 1024
+    unique = list(dict.fromkeys(_strip(s) for s in raw))[:cap]
     if len(unique) < min_unique:
         return
     from concurrent.futures import ThreadPoolExecutor

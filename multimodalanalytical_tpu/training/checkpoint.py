@@ -206,6 +206,14 @@ class CheckpointManager:
                         timeout_s, last.get("step"), best.get("step"),
                         self.directory,
                     )
+                    if self._async_error is not None:
+                        # An EARLIER save already failed; the timeout path
+                        # must not swallow it (it stays stored, so a later
+                        # unbounded wait() still re-raises).
+                        logger.error(
+                            "A previous async save had already failed: %r",
+                            self._async_error,
+                        )
                     return False
                 self._cond.wait(timeout=remaining)
             if self._async_error is not None:

@@ -156,8 +156,9 @@ def _xavier_init_all(model):
             torch.nn.init.xavier_uniform_(p)
 
 
-def _save_case(out, name, model, embedding, inputs, enc_mask, dec_ids,
-               dec_mask, labels, logits, loss):
+def _save_case(out, name, model, inputs, enc_mask, dec_ids,
+               dec_mask, labels, logits, loss,
+               extra_inputs=None, extra_outputs=None):
     prefix = f"{name}/"
     for pname, tensor in model.state_dict().items():
         out[prefix + "param/" + pname] = tensor.detach().numpy()
@@ -171,8 +172,12 @@ def _save_case(out, name, model, embedding, inputs, enc_mask, dec_ids,
     out[prefix + "in/dec_ids"] = dec_ids
     out[prefix + "in/dec_mask"] = dec_mask
     out[prefix + "in/labels"] = labels
+    for k, v in (extra_inputs or {}).items():
+        out[prefix + f"in/{k}"] = v
     out[prefix + "out/logits"] = logits
     out[prefix + "out/loss"] = np.float64(loss)
+    for k, v in (extra_outputs or {}).items():
+        out[prefix + f"out/{k}"] = v
 
 
 def add_hf_bart(out):
@@ -240,7 +245,7 @@ def add_hf_bart(out):
             decoder_attention_mask=torch.tensor(dec_mask),
             labels=torch.tensor(labels),
         )
-    _save_case(out, "bart_executed_graph", model, embedding, inputs,
+    _save_case(out, "bart_executed_graph", model, inputs,
                enc_mask, dec_ids, dec_mask, labels,
                res.logits.numpy(), res.loss.item())
     print("bart_executed_graph loss", res.loss.item())
@@ -287,7 +292,7 @@ def add_hf_t5(out):
             decoder_attention_mask=torch.tensor(dec_mask),
             labels=torch.tensor(labels),
         )
-    _save_case(out, "t5_executed_graph", model, embedding, inputs,
+    _save_case(out, "t5_executed_graph", model, inputs,
                enc_mask, dec_ids, dec_mask, labels,
                res.logits.numpy(), res.loss.item())
     print("t5_executed_graph loss", res.loss.item())
@@ -337,27 +342,18 @@ def main():
                 encoder_align_target=torch.tensor(align_target),
             )
 
-        prefix = f"{name}/"
-        for pname, tensor in model.state_dict().items():
-            out[prefix + "param/" + pname] = tensor.detach().numpy()
-        for k, v in inputs.items():
-            if isinstance(v, dict):
-                for kk, vv in v.items():
-                    out[prefix + f"in/{k}.{kk}"] = vv
-            else:
-                out[prefix + f"in/{k}"] = v
-        out[prefix + "in/enc_mask"] = enc_mask
-        out[prefix + "in/dec_ids"] = dec_ids
-        out[prefix + "in/dec_mask"] = dec_mask
-        out[prefix + "in/labels"] = labels
-        out[prefix + "in/align_target"] = align_target
-        out[prefix + "out/logits"] = res.logits.numpy()
-        out[prefix + "out/loss"] = np.float64(res.loss.item())
-        out[prefix + "out/model_only_loss"] = np.float64(
-            res.loss_dict["model_only_loss"].item())
         align_loss = res.loss_dict["alignment_loss"]
-        out[prefix + "out/alignment_loss"] = np.float64(
-            align_loss.item() if align_loss is not None else 0.0)
+        _save_case(
+            out, name, model, inputs, enc_mask, dec_ids, dec_mask, labels,
+            res.logits.numpy(), res.loss.item(),
+            extra_inputs={"align_target": align_target},
+            extra_outputs={
+                "model_only_loss": np.float64(
+                    res.loss_dict["model_only_loss"].item()),
+                "alignment_loss": np.float64(
+                    align_loss.item() if align_loss is not None else 0.0),
+            },
+        )
         print(name, "loss", res.loss.item())
 
     add_hf_bart(out)

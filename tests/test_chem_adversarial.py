@@ -176,6 +176,51 @@ def test_tautomer_adjacent_pairs_stay_distinct(name, a, b):
     assert ca != cb
 
 
+# Explicit neutral [H] atoms fold into the heavy neighbor's implicit count
+# (RDKit MolFromSmiles removeHs parity): the explicit- and implicit-H
+# renderings of one molecule must share a canonical string.
+H_FOLD_EQUIVALENT = [
+    ("plain", "C([H])O", "CO"),
+    ("methane", "[H]C([H])([H])[H]", "C"),
+    ("aromatic_cH", "c1ccccc1[H]", "c1ccccc1"),
+    ("pyrrole_nH", "c1ccn([H])c1", "c1cc[nH]c1"),
+    # chirality survives with the correct parity for every written H slot
+    ("chiral_slot1", "C[C@](N)([H])C(=O)O", "C[C@@H](N)C(=O)O"),
+    ("chiral_slot0", "C[C@]([H])(N)C(=O)O", "C[C@H](N)C(=O)O"),
+    ("chiral_h_prev", "[H][C@](C)(N)C(=O)O", "C[C@H](N)C(=O)O"),
+    # two hydrogens -> not a stereocenter; the mark must vanish entirely
+    ("fake_stereo_2h", "C[C@H]([H])O", "CCO"),
+    ("fake_stereo_2h_flip", "C[C@@H]([H])O", "CCO"),
+    # E/Z riding the H bond transfers to the other substituent bond
+    ("ez_via_h", "[H]/C(C)=C/F", "C/C=C\\F"),
+    ("ez_via_h_cis", "[H]/C(C)=C\\F", "C/C=C/F"),
+    # ...and drops when the end carries two hydrogens
+    ("ez_2h_drops", "F/C=C\\[H]", "FC=C"),
+]
+
+
+@pytest.mark.parametrize("name,a,b", H_FOLD_EQUIVALENT,
+                         ids=[h[0] for h in H_FOLD_EQUIVALENT])
+def test_explicit_h_folds(name, a, b):
+    ca, cb = canonicalize(a), canonicalize(b)
+    assert ca is not None and ca == cb, (ca, cb)
+
+
+def test_explicit_h_kept_when_meaningful():
+    """Isotopic, charged, lone, and H-H hydrogens keep their explicit node
+    (RDKit keeps these through removeHs too)."""
+    assert canonicalize("[2H]OC") == "[2H]OC"
+    assert canonicalize("[H+]") == "[H+]"
+    assert canonicalize("[H][H]") == "[H][H]"
+    assert canonicalize("[2H]C([2H])([2H])C") != canonicalize("CC")
+
+
+def test_folded_h_still_counts_for_valence():
+    """Folding must not legalize a hypervalent atom by quietly losing H."""
+    assert canonicalize("C([H])([H])([H])([H])[H]") is None
+    assert canonicalize("O([H])([H])[H]") is None
+
+
 def test_dependent_ring_stereo_survives_cleaning():
     """cis- and trans-1,4-dimethylcyclohexane: each mark alone looks
     spurious (symmetric neighbors) but the pair encodes a diastereomer —

@@ -19,9 +19,10 @@ pinned to the reference's executed forward.
 Known deliberate deviations NOT exercised here (docs/index.md):
   * peak-index positions reaching the pos-enc (reference ignores them);
   * torch's Embedding padding_idx freezes the pad row during TRAINING
-    (gradient-level; forward is identical with copied weights);
-  * LayerNorm eps 1e-6 (flax default) vs torch 1e-5 — relative effect
-    ~1e-6 on unit-variance activations, covered by the tolerances below.
+    (gradient-level; forward is identical with copied weights).
+(The LayerNorm eps mismatch this test originally found — flax default 1e-6
+vs torch 1e-5, ~5e-4 on post-LN fp32 logits — was FIXED by pinning
+eps=1e-5 everywhere; see transformer.py _norm.)
 """
 
 from pathlib import Path
