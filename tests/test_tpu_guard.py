@@ -139,7 +139,11 @@ def test_bench_emits_error_json_on_any_failure(tmp_path):
         os.environ,
         AFM_TPU_LOCK=str(lock_path),
         BENCH_LOCK_TIMEOUT_S="1",
-        JAX_PLATFORMS="cpu",
+        # Simulate the TPU session: guard_if_tpu engages the lock only for
+        # an axon-configured run (a JAX_PLATFORMS=cpu smoke run skips it
+        # and executes the whole bench, see test below). The lock times out
+        # BEFORE any backend init, so no relay contact happens here.
+        JAX_PLATFORMS="axon,cpu",
     )
     try:
         r = subprocess.run(
@@ -156,3 +160,19 @@ def test_bench_emits_error_json_on_any_failure(tmp_path):
     parsed = json.loads(json_lines[-1])
     assert parsed["metric"] == "ir_recipe_spectra_per_sec_per_chip_typical"
     assert "error" in parsed and "TpuLockTimeout" in parsed["error"]
+
+
+def test_guard_skips_lock_on_cpu_run(tmp_path, monkeypatch):
+    """A JAX_PLATFORMS=cpu run must not take the TPU lock or probe the
+    relay (review r3: bench.py previously locked+probed unconditionally,
+    blocking CPU smoke runs behind TPU jobs and a wedged relay)."""
+    import jax
+
+    lock_path = tmp_path / "tpu.lock"
+    monkeypatch.setattr(tpu_guard, "LOCK_PATH", str(lock_path))
+    monkeypatch.setattr(tpu_guard, "_held_lock_fd", None)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    # conftest already forces the cpu platform; the guard must see it.
+    assert tpu_guard.guard_if_tpu(timeout_s=0.1) is False
+    assert not lock_path.exists()
+    assert jax.config.jax_platforms == "cpu"
