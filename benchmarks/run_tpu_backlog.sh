@@ -42,6 +42,7 @@ run bench python bench.py
 
 # 2. train-step A/Bs
 run exp_remat python benchmarks/exp_remat.py base keydrop attnlayout attnlayout_keydrop
+run opt_variants python benchmarks/opt_variants.py optax optax_noclip fused flat
 run trace_step python benchmarks/trace_step.py train_hlo
 
 # 4. accuracy rerun + guided surrogate at scale
