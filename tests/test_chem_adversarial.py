@@ -196,6 +196,11 @@ H_FOLD_EQUIVALENT = [
     ("ez_via_h_cis", "[H]/C(C)=C\\F", "C/C=C/F"),
     # ...and drops when the end carries two hydrogens
     ("ez_2h_drops", "F/C=C\\[H]", "FC=C"),
+    # ring-closure digits occupy their written neighbor slot; folding
+    # around them keeps parity and the symmetric-ring mark still drops
+    ("ring_fold_after_closure", "C1CC[C@@]1([H])F", "FC1CCC1"),
+    ("ring_fold_before_closure", "C1CC[C@]([H])1F", "FC1CCC1"),
+    ("ring_fold_h_prev", "F[C@]([H])1CCC1", "F[C@H]1CCC1"),
 ]
 
 
