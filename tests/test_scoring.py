@@ -69,3 +69,30 @@ def test_token_accuracy():
     target = np.array([[1, 2, 3, -100], [4, 5, -100, -100]])
     pred = np.array([[1, 2, 9, 9], [4, 9, 9, 9]])
     assert isclose(token_accuracy(target, pred), 3 / 5)
+
+
+def test_parallel_cache_warming_path(monkeypatch):
+    """The thread-pool warming path never runs on the 1-core CI host by
+    default (it gates on cpu_count); force it and check the scoring result
+    is unchanged and the cache is actually warmed."""
+    import os
+
+    from multimodalanalytical_tpu.evaluation import metrics as M
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    monkeypatch.setattr(M, "_warm_canonical_cache",
+                        M._warm_canonical_cache)  # keep the real one
+    targets = [f"{'C' * (i % 9 + 1)}O" for i in range(300)]
+    samples = [[t, "CCN", "not_a_smiles"] for t in targets]
+
+    M._cached_canonical.cache_clear()
+    serial = M.calc_sampling_metrics(samples, targets, molecules=True)
+
+    M._cached_canonical.cache_clear()
+    M._warm_canonical_cache(
+        list(targets) + [b for row in samples for b in row], min_unique=1)
+    warmed_info = M._cached_canonical.cache_info()
+    assert warmed_info.currsize > 0
+    parallel = M.calc_sampling_metrics(samples, targets, molecules=True)
+    assert parallel == serial
+    assert parallel["Top-1"] == 1.0
