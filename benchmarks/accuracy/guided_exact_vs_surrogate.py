@@ -66,7 +66,11 @@ def main() -> None:
             f"working_dir={work}", "job_name=train",
             "data=ir/patches", f"data_path={DATA}",
             *MODEL_OVERRIDES,
-            "trainer.epochs=80", "trainer.early_stopping_patience=20"])
+            # Greedy Top-1 stays 0.0 for the first ~30 epochs at this small
+            # scale (the 4k d512 run lifted off at epoch 9; d128 is later),
+            # so early-stop on val_loss, not molecular accuracy.
+            "trainer.checkpoint_monitor=val_loss",
+            "trainer.epochs=150", "trainer.early_stopping_patience=25"])
 
     results = {}
     for mode, extra in (

@@ -26,9 +26,11 @@
 #                            vs reference 61.4%), then ternary and
 #                            multitask_w_pure rows (VERDICT r2 item 5).
 set -uo pipefail
-WORK=${1:-/tmp/tpu_backlog}
-mkdir -p "$WORK/logs"
 cd "$(dirname "$0")/.."
+# Resolve BEFORE mkdir so a relative workdir argument doesn't split the
+# logs dir between the invocation cwd and the repo root.
+WORK=$(mkdir -p "${1:-/tmp/tpu_backlog}" && cd "${1:-/tmp/tpu_backlog}" && pwd)
+mkdir -p "$WORK/logs"
 
 run() {
   local name=$1; shift

@@ -863,16 +863,17 @@ bool sanitize(Mol* mol) {
     int n_h = 0;
     bool fits = false;
     for (int v : valences) {
-      if (bond_sum <= v) {
+      // Folded explicit hydrogens count toward the valence being selected
+      // — S(C)(C)([H])[H] must pick sulfur's 6-valence like [SH2](C)C
+      // does, and C([H])([H])([H])([H])[H] must stay invalid (no valence
+      // fits 5 hydrogens), not silently become CH4.
+      if (bond_sum + min_h[i] <= v) {
         n_h = v - bond_sum;
         fits = true;
         break;
       }
     }
     if (!fits) return false;  // hypervalent organic-subset atom => invalid
-    // Folded explicit hydrogens must fit inside the resolved implicit
-    // count (C([H])([H])([H])([H])[H] stays invalid, not CH4).
-    if (n_h < min_h[i]) return false;
     atom.n_h = n_h;
   }
 
@@ -1424,14 +1425,20 @@ void drop_uninformative_stereo(Mol* mol) {
   // stereocenters in predictions scored at decode rate — at one extra
   // rank refinement instead of k+1 extra canonicalizations (measured
   // 232 us -> ~80 us per marked string).
-  // Marks that can NEVER be stereogenic are cleared outright (the
-  // inversion test can't judge them: with two implicit hydrogens the
-  // writer has fewer than 3 heavy neighbors to permute and emits the
-  // parity verbatim, so flipping always changes the string).
+  // Marks the writer cannot represent faithfully are cleared outright:
+  // parity normalization permutes WRITTEN heavy-neighbor order against
+  // emitted order, which needs >= 3 heavy neighbors — below that the mark
+  // is emitted verbatim, so the same molecule written in two neighbor
+  // orders canonicalizes to two strings (F[C@H]Cl vs Cl[C@@H]F), and the
+  // inversion test always sees a changed string and keeps it. Clearing
+  // restores one-molecule-one-string; it matches RDKit for carbon (a
+  // 2-coordinate marked C is never a stereocenter) and deviates only on
+  // pyramidal X-H stereo ([P@H](CC)C), which was never canonicalized
+  // consistently here anyway. Two implicit hydrogens are likewise never
+  // stereogenic.
   for (auto& a : mol->atoms) {
     if (a.chirality == CHI_NONE) continue;
-    const int degree = static_cast<int>(a.bonds.size());
-    if (a.n_h >= 2 || degree + a.n_h < 3) a.chirality = CHI_NONE;
+    if (a.n_h >= 2 || a.bonds.size() < 3) a.chirality = CHI_NONE;
   }
 
   const std::vector<int> ranks = refine_ranks(*mol, initial_keys(*mol));

@@ -106,10 +106,13 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "checkpoint_monitor", "val_molecular_accuracy"),
         checkpoint_every_n_vals=config["trainer"].get(
             "checkpoint_every_n_vals", 1) or 1,
-        # `or` also maps an explicit YAML null to the default (the trainer
-        # block uses nulls idiomatically, e.g. val_check_interval: null).
-        checkpoint_wait_timeout_s=config["trainer"].get(
-            "checkpoint_wait_timeout_s") or 600.0,
+        # Map only an explicit YAML null to the default — 0 is meaningful
+        # (abandon an in-flight save immediately at end of fit).
+        checkpoint_wait_timeout_s=(
+            600.0
+            if config["trainer"].get("checkpoint_wait_timeout_s") is None
+            else config["trainer"]["checkpoint_wait_timeout_s"]
+        ),
     )
 
     sample_batch = next(iter(loaders["train"]))

@@ -201,7 +201,26 @@ H_FOLD_EQUIVALENT = [
     ("ring_fold_after_closure", "C1CC[C@@]1([H])F", "FC1CCC1"),
     ("ring_fold_before_closure", "C1CC[C@]([H])1F", "FC1CCC1"),
     ("ring_fold_h_prev", "F[C@]([H])1CCC1", "F[C@H]1CCC1"),
+    # folded H counts toward selecting among MULTIPLE allowed valences
+    # (review r3: sulfur must pick 6, not reject as hypervalent-at-2)
+    ("sulfur_valence_fold", "S(C)(C)([H])[H]", "[SH2](C)C"),
+    ("phosphorus_valence_fold", "P(C)(C)(C)([H])[H]", "[PH2](C)(C)C"),
+    # marks on atoms with < 3 heavy neighbors are cleared: the writer has
+    # nothing to permute, so the two written orders of ONE molecule would
+    # otherwise canonicalize differently (F[C@H]Cl vs Cl[C@@H]F)
+    ("carbene_mark_a", "F[C@H]Cl", "[CH](F)Cl"),
+    ("carbene_mark_b", "Cl[C@@H]F", "[CH](F)Cl"),
+    ("pyramidal_ph_mark", "[P@H](CC)C", "CC[P@@H]C"),
 ]
+
+
+def test_pyramidal_sulfoxide_stereo_survives():
+    """3 heavy neighbors IS enough for faithful parity normalization:
+    sulfoxide enantiomers stay distinct through canonicalization."""
+    a, b = canonicalize("C[S@](=O)CC"), canonicalize("C[S@@](=O)CC")
+    assert a is not None and b is not None and a != b
+    # ...and the same molecule written from the other side collapses.
+    assert canonicalize("CC[S@@](=O)C") == a
 
 
 @pytest.mark.parametrize("name,a,b", H_FOLD_EQUIVALENT,

@@ -80,8 +80,6 @@ def test_parallel_cache_warming_path(monkeypatch):
     from multimodalanalytical_tpu.evaluation import metrics as M
 
     monkeypatch.setattr(os, "cpu_count", lambda: 4)
-    monkeypatch.setattr(M, "_warm_canonical_cache",
-                        M._warm_canonical_cache)  # keep the real one
     targets = [f"{'C' * (i % 9 + 1)}O" for i in range(300)]
     samples = [[t, "CCN", "not_a_smiles"] for t in targets]
 
