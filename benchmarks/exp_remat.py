@@ -10,6 +10,12 @@ Variants (fwd+bwd with rbg dropout unless noted):
   keydrop       custom-VJP dropout: save only the rng key, regenerate the
                 mask in backward (no u32 bits saved/copied)
 
+  rematffn      nn.remat on the FFN sublayer ONLY: recompute linear1/gate
+                activations in backward instead of saving the (B, L, ffn)
+                tensors — whole-model remat measured WORSE (PROFILE.md
+                round 5) because it recomputes attention too; this targets
+                just the widest saves
+
 Usage: python benchmarks/exp_remat.py [variant ...]
 """
 
@@ -126,7 +132,47 @@ def main():
 
         attn_mod.MultiHeadAttention.__call__ = call
 
+    def _orig_state():
+        import flax.linen as nn
+
+        from multimodalanalytical_tpu.ops import attention as attn_mod
+        import multimodalanalytical_tpu.models.transformer as tr
+
+        return {
+            "nn_dropout_call": nn.Dropout.__call__,
+            "attn_call": attn_mod.MultiHeadAttention.__call__,
+            "tr_feedforward": tr.FeedForward,
+            "tr_dropout": tr.Dropout,
+        }
+
+    _ORIG = _orig_state()
+
+    def _restore():
+        """Undo every monkeypatch so variants can run in ANY order within
+        one invocation (previously a patch leaked into all later variants)."""
+        import flax.linen as nn
+
+        from multimodalanalytical_tpu.ops import attention as attn_mod
+        import multimodalanalytical_tpu.models.transformer as tr
+
+        nn.Dropout.__call__ = _ORIG["nn_dropout_call"]
+        attn_mod.MultiHeadAttention.__call__ = _ORIG["attn_call"]
+        tr.FeedForward = _ORIG["tr_feedforward"]
+        tr.Dropout = _ORIG["tr_dropout"]
+
+    def _patch_rematffn():
+        import flax.linen as nn
+
+        import multimodalanalytical_tpu.models.transformer as tr
+
+        # Same param tree (name="ff" is set at the call sites); only the
+        # backward schedule changes: linear1/gate/dropout recompute instead
+        # of their activations being saved. static_argnums=(2,) is the
+        # Python-bool ``deterministic`` (self counts as 0).
+        tr.FeedForward = nn.remat(tr.FeedForward, static_argnums=(2,))
+
     def make(name):
+        _restore()
         if name == "flaxdrop":
             # CONTROL: the product default is now the key-saving dropout;
             # this restores flax nn.Dropout for the A/B.
@@ -150,6 +196,23 @@ def main():
                 return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
         elif name == "keydrop":
             _patch_keydrop()
+
+            def f(p, r):
+                return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
+        elif name == "rematffn":
+            _patch_rematffn()
+
+            def f(p, r):
+                return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
+        elif name == "rematffn_keydrop":
+            _patch_rematffn()
+            _patch_keydrop()
+
+            def f(p, r):
+                return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
+        elif name == "attnlayout_rematffn":
+            _patch_attnlayout()
+            _patch_rematffn()
 
             def f(p, r):
                 return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)

@@ -43,7 +43,10 @@ run() {
 run bench python bench.py
 
 # 2. train-step A/Bs
-run exp_remat python benchmarks/exp_remat.py base keydrop attnlayout attnlayout_keydrop
+# base already ships key-saving dropout (ops/dropout.py); flaxdrop is the
+# nn.Dropout CONTROL for that A/B. rematffn recomputes the FFN's (B,L,ffn)
+# saves; attnlayout drops the head-split transposes; the combo stacks both.
+run exp_remat python benchmarks/exp_remat.py flaxdrop base attnlayout rematffn attnlayout_rematffn
 run opt_variants python benchmarks/opt_variants.py optax optax_noclip fused flat
 run trace_step python benchmarks/trace_step.py train_hlo
 
