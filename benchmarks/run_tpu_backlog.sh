@@ -31,6 +31,10 @@ cd "$(dirname "$0")/.."
 # logs dir between the invocation cwd and the repo root.
 WORK=$(mkdir -p "${1:-/tmp/tpu_backlog}" && cd "${1:-/tmp/tpu_backlog}" && pwd)
 mkdir -p "$WORK/logs"
+# Stage filter: "quick" = bench + A/Bs + trace only (~1h, safe to auto-run
+# unattended: a driver bench arriving later will find the TPU lock free);
+# "accuracy" = the multi-hour training stages only; "all" = both.
+PHASE="${2:-all}"
 
 run() {
   local name=$1; shift
@@ -39,6 +43,7 @@ run() {
   echo "=== [$name] rc=$?" | tee -a "$WORK/logs/driver.log"
 }
 
+if [ "$PHASE" != "accuracy" ]; then
 # 1. bench + cache refresh
 run bench python bench.py
 
@@ -49,6 +54,12 @@ run bench python bench.py
 run exp_remat python benchmarks/exp_remat.py flaxdrop base attnlayout rematffn attnlayout_rematffn
 run opt_variants python benchmarks/opt_variants.py optax optax_noclip fused flat
 run trace_step python benchmarks/trace_step.py train_hlo
+fi
+
+if [ "$PHASE" = "quick" ]; then
+  echo "quick phase done; logs in $WORK/logs" | tee -a "$WORK/logs/driver.log"
+  exit 0
+fi
 
 # 4. accuracy rerun + guided surrogate at scale
 if [ ! -d /tmp/synth_ir_dataset ]; then
