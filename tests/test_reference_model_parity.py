@@ -113,129 +113,17 @@ def golden():
     return np.load(GOLDEN, allow_pickle=False)
 
 
-def _t(w):
-    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
-    return np.ascontiguousarray(w.T)
-
-
-def _ln(g, name):
-    return {"scale": g[name + ".weight"], "bias": g[name + ".bias"]}
-
-
-def _mha_self(g, name):
-    w, b = g[name + ".in_proj_weight"], g[name + ".in_proj_bias"]
-    return {
-        "qkv_proj": {"kernel": _t(w), "bias": b},
-        "out_proj": {"kernel": _t(g[name + ".out_proj.weight"]),
-                     "bias": g[name + ".out_proj.bias"]},
-    }
-
-
-def _mha_cross(g, name):
-    w, b = g[name + ".in_proj_weight"], g[name + ".in_proj_bias"]
-    d = w.shape[1]
-    return {
-        "q_proj": {"kernel": _t(w[:d]), "bias": b[:d]},
-        "kv_proj": {"kernel": _t(w[d:]), "bias": b[d:]},
-        "out_proj": {"kernel": _t(g[name + ".out_proj.weight"]),
-                     "bias": g[name + ".out_proj.bias"]},
-    }
-
-
-def _ff(g, name, gated):
-    ff = {
-        "linear1": {"kernel": _t(g[name + ".linear1.weight"]),
-                    "bias": g[name + ".linear1.bias"]},
-        "linear2": {"kernel": _t(g[name + ".linear2.weight"]),
-                    "bias": g[name + ".linear2.bias"]},
-    }
-    if gated:
-        ff["gate"] = {"kernel": _t(g[name + ".gate.weight"]),
-                      "bias": g[name + ".gate.bias"]}
-    return ff
-
-
-def _embedding_params(g, case, data_config):
-    out = {}
-    for modality, mcfg in data_config.items():
-        base = f"embedding.embedding_layer_dict.{modality}"
-        if mcfg["type"] in ("text", "multiplets"):
-            out[f"embed_{modality}"] = {"embedding": g[base + ".weight"]}
-        else:  # 1D_patches
-            enc = mcfg["preprocessor_arguments"].get("encoding_type", "linear")
-            if enc == "linear":
-                out[f"embed_{modality}"] = {"proj": {
-                    "kernel": _t(g[base + ".weight"]),
-                    "bias": g[base + ".bias"]}}
-            else:
-                n = 2 if enc == "linear_2_layer" else 3
-                out[f"embed_{modality}"] = {
-                    f"proj_{i}": {"kernel": _t(g[f"{base}.{2 * i}.weight"]),
-                                  "bias": g[f"{base}.{2 * i}.bias"]}
-                    for i in range(n)
-                }
-        out[f"norm_{modality}"] = _ln(g, f"embedding.embedding_norm_dict.{modality}")
-    if case["positional_encoding_type"] == "learned":
-        out["pos_enc"] = {
-            "pos_embed": {
-                "embedding": g["embedding.positional_encodings.pos_encodings.weight"]},
-            "pos_norm": _ln(g, "embedding.positional_encodings.norm"),
-        }
-    return out
-
-
-def _align_params(g, case):
-    a = case["align"]
-    if a["align_network"] == "mlp":
-        return {
-            "fc1": {"kernel": _t(g["align_network.0.weight"]),
-                    "bias": g["align_network.0.bias"]},
-            "fc2": {"kernel": _t(g["align_network.2.weight"]),
-                    "bias": g["align_network.2.bias"]},
-        }
-    # convolutional: Sequential(Linear, ReLU, Linear, Lambda, Conv1d, ReLU,
-    # Conv1d, Sigmoid, Lambda) -> fc1, fc2, conv1 (spatial), conv2 (1x1 ==
-    # Dense).
-    conv1_w = g["align_network.4.weight"]          # (out_ch, in_ch, k)
-    conv2_w = g["align_network.6.weight"]          # (out, in, 1)
-    return {
-        "fc1": {"kernel": _t(g["align_network.0.weight"]),
-                "bias": g["align_network.0.bias"]},
-        "fc2": {"kernel": _t(g["align_network.2.weight"]),
-                "bias": g["align_network.2.bias"]},
-        "conv1": {"kernel": np.ascontiguousarray(conv1_w.transpose(2, 1, 0)),
-                  "bias": g["align_network.4.bias"]},
-        "conv2": {"kernel": _t(conv2_w[:, :, 0]),
-                  "bias": g["align_network.6.bias"]},
-    }
-
-
-def torch_to_flax(g, case, data_config, n_layers=2):
-    params = {
-        "embedding": _embedding_params(g, case, data_config),
-        "encoder": {"final_norm": _ln(g, "encoder.norm")},
-        "decoder": {"final_norm": _ln(g, "decoder.norm")},
-        "lm_head": {"kernel": _t(g["token_ff.weight"]),
-                    "bias": g["token_ff.bias"]},
-    }
-    for i in range(n_layers):
-        params["encoder"][f"layer_{i}"] = {
-            "self_attn": _mha_self(g, f"encoder.layers.{i}.self_attn"),
-            "ff": _ff(g, f"encoder.layers.{i}", case["gated_linear"]),
-            "norm1": _ln(g, f"encoder.layers.{i}.norm1"),
-            "norm2": _ln(g, f"encoder.layers.{i}.norm2"),
-        }
-        params["decoder"][f"layer_{i}"] = {
-            "self_attn": _mha_self(g, f"decoder.layers.{i}.self_attn"),
-            "cross_attn": _mha_cross(g, f"decoder.layers.{i}.multihead_attn"),
-            "ff": _ff(g, f"decoder.layers.{i}", case["gated_linear"]),
-            "norm1": _ln(g, f"decoder.layers.{i}.norm1"),
-            "norm2": _ln(g, f"decoder.layers.{i}.norm2"),
-            "norm3": _ln(g, f"decoder.layers.{i}.norm3"),
-        }
-    if case.get("align"):
-        params["align_network"] = _align_params(g, case)
-    return params
+# The torch->flax weight mapping lives in models/torch_mapping.py (shared
+# with scripts/convert_reference_checkpoint.py); the tests below are the
+# numerical proof it is correct. Architecture knobs (layer count, GEGLU,
+# align head, learned positions, embedding layer types) are INFERRED from
+# the state_dict keys — the explicit per-case mapping this file originally
+# carried is subsumed.
+from multimodalanalytical_tpu.models.torch_mapping import (  # noqa: E402
+    bart_to_flax,
+    custom_model_to_flax,
+    t5_to_flax,
+)
 
 
 def _case_arrays(golden, name):
@@ -273,7 +161,7 @@ def test_forward_matches_reference(golden, name):
     data_config = build_data_config(case)
     g, ins, outs = _case_arrays(golden, name)
     model = _build_model(case, data_config)
-    params = torch_to_flax(g, case, data_config)
+    params = custom_model_to_flax(g)
 
     enc_inputs = {
         "Formula": ins["Formula"].astype(np.int32),
@@ -333,144 +221,9 @@ def test_sincos_table_matches_reference_buffer(golden):
 # Executed HF graphs (reference wrapper.py:32-84 BART, :182-219 T5)
 # ---------------------------------------------------------------------------
 
-def _dense(g, name, bias=True):
-    out = {"kernel": _t(g[name + ".weight"])}
-    if bias:
-        out["bias"] = g[name + ".bias"]
-    return out
-
-
-def _hf_fused_self(g, base, bias=True):
-    """HF separate q/k/v/out projections -> our fused qkv layout."""
-    kernel = np.concatenate(
-        [_t(g[f"{base}.{p}.weight"]) for p in ("q", "k", "v")], axis=1)
-    out = {"qkv_proj": {"kernel": kernel},
-           "out_proj": {"kernel": _t(g[f"{base}.o.weight"])}}
-    if bias:
-        out["qkv_proj"]["bias"] = np.concatenate(
-            [g[f"{base}.{p}.bias"] for p in ("q", "k", "v")])
-        out["out_proj"]["bias"] = g[f"{base}.o.bias"]
-    return out
-
-
-def _hf_cross(g, base, bias=True):
-    out = {
-        "q_proj": {"kernel": _t(g[f"{base}.q.weight"])},
-        "kv_proj": {"kernel": np.concatenate(
-            [_t(g[f"{base}.k.weight"]), _t(g[f"{base}.v.weight"])], axis=1)},
-        "out_proj": {"kernel": _t(g[f"{base}.o.weight"])},
-    }
-    if bias:
-        out["q_proj"]["bias"] = g[f"{base}.q.bias"]
-        out["kv_proj"]["bias"] = np.concatenate(
-            [g[f"{base}.k.bias"], g[f"{base}.v.bias"]])
-        out["out_proj"]["bias"] = g[f"{base}.o.bias"]
-    return out
-
-
-def _shared_embedding_params(g, prefix):
-    emb = {}
-    for mod in ("Formula", "IR", "Smiles"):
-        base = f"{prefix}.embedding_layer_dict.{mod}"
-        if mod == "IR":
-            emb["embed_IR"] = {"proj": {"kernel": _t(g[base + ".weight"]),
-                                        "bias": g[base + ".bias"]}}
-        else:
-            emb[f"embed_{mod}"] = {"embedding": g[base + ".weight"]}
-        emb[f"norm_{mod}"] = _ln(g, f"{prefix}.embedding_norm_dict.{mod}")
-    return emb
-
-
-def _rename_hf_bart(g):
-    """HF Bart names its projections q_proj/k_proj/v_proj/out_proj and its
-    FFN fc1/fc2; normalize to the short q/k/v/o names the helpers use."""
-    ren = {}
-    for k, v in g.items():
-        k = (k.replace(".q_proj.", ".q.").replace(".k_proj.", ".k.")
-              .replace(".v_proj.", ".v.").replace(".out_proj.", ".o."))
-        ren[k] = v
-    return ren
-
-
-def bart_torch_to_flax(g, n_layers=2):
-    g = _rename_hf_bart(g)
-    params = {
-        "embedding": _shared_embedding_params(g, "model.shared"),
-        "decoder_emb_norm": _ln(g, "model.decoder.layernorm_embedding"),
-        "lm_head": {"kernel": _t(g["lm_head.weight"])},
-        "encoder": {}, "decoder": {},
-    }
-    for i in range(n_layers):
-        e = f"model.encoder.layers.{i}"
-        params["encoder"][f"layer_{i}"] = {
-            "self_attn": _hf_fused_self(g, f"{e}.self_attn"),
-            "ff": {"linear1": _dense(g, f"{e}.fc1"),
-                   "linear2": _dense(g, f"{e}.fc2")},
-            "norm1": _ln(g, f"{e}.self_attn_layer_norm"),
-            "norm2": _ln(g, f"{e}.final_layer_norm"),
-        }
-        d = f"model.decoder.layers.{i}"
-        params["decoder"][f"layer_{i}"] = {
-            "self_attn": _hf_fused_self(g, f"{d}.self_attn"),
-            "cross_attn": _hf_cross(g, f"{d}.encoder_attn"),
-            "ff": {"linear1": _dense(g, f"{d}.fc1"),
-                   "linear2": _dense(g, f"{d}.fc2")},
-            "norm1": _ln(g, f"{d}.self_attn_layer_norm"),
-            "norm2": _ln(g, f"{d}.encoder_attn_layer_norm"),
-            "norm3": _ln(g, f"{d}.final_layer_norm"),
-        }
-    return params
-
-
-def t5_torch_to_flax(g, n_layers=2):
-    params = {
-        "embedding": _shared_embedding_params(g, "shared"),
-        "lm_head": {"kernel": _t(g["lm_head.weight"])},
-        "encoder": {
-            "final_norm": {"scale": g["encoder.final_layer_norm.weight"]},
-            "rel_bias": {"rel_bias": {"embedding": g[
-                "encoder.block.0.layer.0.SelfAttention"
-                ".relative_attention_bias.weight"]}},
-        },
-        "decoder": {
-            "final_norm": {"scale": g["decoder.final_layer_norm.weight"]},
-            "rel_bias": {"rel_bias": {"embedding": g[
-                "decoder.block.0.layer.0.SelfAttention"
-                ".relative_attention_bias.weight"]}},
-        },
-    }
-    for i in range(n_layers):
-        e = f"encoder.block.{i}"
-        params["encoder"][f"layer_{i}"] = {
-            "self_attn": _hf_fused_self(g, f"{e}.layer.0.SelfAttention",
-                                        bias=False),
-            "ff": {"linear1": _dense(g, f"{e}.layer.1.DenseReluDense.wi",
-                                     bias=False),
-                   "linear2": _dense(g, f"{e}.layer.1.DenseReluDense.wo",
-                                     bias=False)},
-            "norm1": {"scale": g[f"{e}.layer.0.layer_norm.weight"]},
-            "norm2": {"scale": g[f"{e}.layer.1.layer_norm.weight"]},
-        }
-        d = f"decoder.block.{i}"
-        params["decoder"][f"layer_{i}"] = {
-            "self_attn": _hf_fused_self(g, f"{d}.layer.0.SelfAttention",
-                                        bias=False),
-            "cross_attn": _hf_cross(g, f"{d}.layer.1.EncDecAttention",
-                                    bias=False),
-            "ff": {"linear1": _dense(g, f"{d}.layer.2.DenseReluDense.wi",
-                                     bias=False),
-                   "linear2": _dense(g, f"{d}.layer.2.DenseReluDense.wo",
-                                     bias=False)},
-            "norm1": {"scale": g[f"{d}.layer.0.layer_norm.weight"]},
-            "norm2": {"scale": g[f"{d}.layer.1.layer_norm.weight"]},
-            "norm3": {"scale": g[f"{d}.layer.2.layer_norm.weight"]},
-        }
-    return params
-
-
 HF_CASES = {
-    "bart_executed_graph": ("BartForConditionalGeneration", bart_torch_to_flax),
-    "t5_executed_graph": ("T5ForConditionalGeneration", t5_torch_to_flax),
+    "bart_executed_graph": ("BartForConditionalGeneration", bart_to_flax),
+    "t5_executed_graph": ("T5ForConditionalGeneration", t5_to_flax),
 }
 
 
