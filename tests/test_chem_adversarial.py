@@ -294,3 +294,88 @@ def test_long_chain_and_deep_nesting():
     nested = "C(" * 200 + "C" + ")" * 200
     out = canonicalize(nested)
     assert out is not None and out.count("C") == 201
+
+
+# ---------------------------------------------------------------------------
+# Meso / enantiomer topology (driver-round-3 corpus growth, VERDICT r2 #7).
+#
+# For a symmetric chain X-C*(..)-C*(..)-X written linearly, SAME tetrahedral
+# marks at both centers denote the MESO compound (the written neighbor order
+# reverses direction at the second center), and OPPOSITE marks denote the
+# chiral (R,R)/(S,S) pair. Getting this backwards is the classic pitfall —
+# these tests pin the engine's (correct) behavior: the meso compound's two
+# mirror renderings are ONE molecule and must collapse to one string, while
+# the enantiomers are TWO molecules and must never collapse (a collision
+# would silently inflate Top-N; a split would deflate it).
+
+MESO_SYSTEMS = [
+    # (name, meso rendering A, meso rendering B (mirror), (R,R), (S,S), flat)
+    ("butanediol",
+     "C[C@H](O)[C@H](O)C", "C[C@@H](O)[C@@H](O)C",
+     "C[C@H](O)[C@@H](O)C", "C[C@@H](O)[C@H](O)C",
+     "CC(O)C(O)C"),
+    ("tartaric",
+     "OC(=O)[C@H](O)[C@H](O)C(=O)O", "OC(=O)[C@@H](O)[C@@H](O)C(=O)O",
+     "OC(=O)[C@H](O)[C@@H](O)C(=O)O", "OC(=O)[C@@H](O)[C@H](O)C(=O)O",
+     "OC(=O)C(O)C(O)C(=O)O"),
+    ("dibromobutane",
+     "C[C@H](Br)[C@H](Br)C", "C[C@@H](Br)[C@@H](Br)C",
+     "C[C@H](Br)[C@@H](Br)C", "C[C@@H](Br)[C@H](Br)C",
+     "CC(Br)C(Br)C"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,meso_a,meso_b,rr,ss,flat", MESO_SYSTEMS, ids=[m[0] for m in MESO_SYSTEMS]
+)
+def test_meso_collapses_enantiomers_stay_distinct(name, meso_a, meso_b, rr, ss, flat):
+    c_meso_a, c_meso_b = canonicalize(meso_a), canonicalize(meso_b)
+    c_rr, c_ss, c_flat = canonicalize(rr), canonicalize(ss), canonicalize(flat)
+    # meso is ONE molecule: both mirror renderings collapse
+    assert c_meso_a == c_meso_b, (c_meso_a, c_meso_b)
+    # (R,R) and (S,S) are enantiomers: distinct strings
+    assert c_rr != c_ss, (c_rr, c_ss)
+    # meso, the two enantiomers, and the unspecified form: four distinct strings
+    assert len({c_meso_a, c_rr, c_ss, c_flat}) == 4
+    # every randomized re-rendering of each form stays on its string
+    for smi, expect in ((meso_a, c_meso_a), (rr, c_rr), (ss, c_ss)):
+        for r in random_smiles(smi, 25):
+            assert canonicalize(r) == expect, (smi, r)
+
+
+def test_isotopic_chirality():
+    """A 13C label at one end of the meso skeleton creates a chiral pair."""
+    a = canonicalize("[13CH3][C@H](O)[C@H](O)C")
+    b = canonicalize("C[C@H](O)[C@H](O)[13CH3]")
+    assert a is not None and b is not None
+    assert a != b  # enantiomers by isotopic substitution
+
+
+def test_spiro_and_bridged_stereocenters_survive():
+    """Spiro and norbornane (endo/exo) marks are genuine and must be kept."""
+    spiro_marked = canonicalize("C[C@]1(O)CCCC12CCCC2")
+    spiro_plain = canonicalize("CC1(O)CCCC12CCCC2")
+    assert "@" in spiro_marked and spiro_marked != spiro_plain
+    endo = canonicalize("O[C@H]1C[C@@H]2CC[C@H]1C2")
+    plain = canonicalize("OC1CC2CCC1C2")
+    assert "@" in endo and endo != plain
+    for r in random_smiles("O[C@H]1C[C@@H]2CC[C@H]1C2", 25):
+        assert canonicalize(r) == endo, r
+
+
+def test_adamantane_spurious_mark_dropped():
+    """2-adamantanol's C2 has two identical ring branches: not stereogenic."""
+    marked = canonicalize("O[C@H]1C2CC3CC(C2)CC1C3")
+    plain = canonicalize("OC1C2CC3CC(C2)CC1C3")
+    assert marked == plain
+    assert "@" not in marked
+
+
+def test_macrocyclic_ez_distinct():
+    """Cyclodecene is large enough for genuine E/Z ring-bond stereo."""
+    e = canonicalize("C1CCCC/C=C/CCC1")
+    z = canonicalize("C1CCCC/C=C\\CCC1")
+    plain = canonicalize("C1CCCCC=CCCC1")
+    assert len({e, z, plain}) == 3
+    for r in random_smiles("C1CCCC/C=C/CCC1", 25):
+        assert canonicalize(r) == e, r
