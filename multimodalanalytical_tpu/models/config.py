@@ -153,6 +153,141 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
 
 _CONFIG_FIELDS = {f.name for f in dataclasses.fields(ModelConfig)}
 
+# ---------------------------------------------------------------------------
+# HF-config-driven architecture derivation (reference wrapper.py:32-60 and
+# :182-199: `AutoConfig.from_pretrained(model_name, **kwargs)` supplies every
+# dimension for the BART/T5 model types; YAML kwargs override on top). The
+# environment has zero egress, so the checkpoint names the reference configs
+# actually use resolve through an offline architecture table; real
+# `transformers` config objects (or a local path) are also accepted.
+# ---------------------------------------------------------------------------
+
+# Architecture hyperparameters of the HF checkpoints named by the reference's
+# shipped model YAMLs (configs/model/*.yaml: 'facebook/bart-base',
+# 'google-t5/t5-small'), plus their common siblings. Values match the
+# upstream config.json of each checkpoint.
+_HF_OFFLINE_ARCHITECTURES: Dict[str, Dict[str, Any]] = {
+    "facebook/bart-base": dict(
+        model_type="bart", d_model=768, encoder_layers=6, decoder_layers=6,
+        encoder_attention_heads=12, decoder_attention_heads=12,
+        encoder_ffn_dim=3072, decoder_ffn_dim=3072, dropout=0.1,
+        activation_function="gelu", max_position_embeddings=1024,
+    ),
+    "facebook/bart-large": dict(
+        model_type="bart", d_model=1024, encoder_layers=12, decoder_layers=12,
+        encoder_attention_heads=16, decoder_attention_heads=16,
+        encoder_ffn_dim=4096, decoder_ffn_dim=4096, dropout=0.1,
+        activation_function="gelu", max_position_embeddings=1024,
+    ),
+    "google-t5/t5-small": dict(
+        model_type="t5", d_model=512, d_ff=2048, num_layers=6,
+        num_decoder_layers=6, num_heads=8, d_kv=64, dropout_rate=0.1,
+        feed_forward_proj="relu", relative_attention_num_buckets=32,
+        relative_attention_max_distance=128,
+    ),
+    "google-t5/t5-base": dict(
+        model_type="t5", d_model=768, d_ff=3072, num_layers=12,
+        num_decoder_layers=12, num_heads=12, d_kv=64, dropout_rate=0.1,
+        feed_forward_proj="relu", relative_attention_num_buckets=32,
+        relative_attention_max_distance=128,
+    ),
+}
+_HF_OFFLINE_ARCHITECTURES["t5-small"] = _HF_OFFLINE_ARCHITECTURES["google-t5/t5-small"]
+_HF_OFFLINE_ARCHITECTURES["t5-base"] = _HF_OFFLINE_ARCHITECTURES["google-t5/t5-base"]
+
+
+def _hf_attrs(config_or_name: Any) -> Dict[str, Any]:
+    """Normalize an HF config object / checkpoint name to a flat attr dict."""
+    if isinstance(config_or_name, dict):
+        return dict(config_or_name)
+    if isinstance(config_or_name, str):
+        if config_or_name in _HF_OFFLINE_ARCHITECTURES:
+            return dict(_HF_OFFLINE_ARCHITECTURES[config_or_name])
+        # A local path (or a warm HF cache) still works; the hub is
+        # unreachable here, so anything else fails loudly with the table.
+        try:
+            from transformers import AutoConfig  # noqa: PLC0415 - lazy, heavy
+
+            cfg = AutoConfig.from_pretrained(config_or_name)
+            return dict(cfg.to_dict(), model_type=cfg.model_type)
+        except Exception as exc:  # noqa: BLE001 - surfaced with context
+            raise ValueError(
+                f"Unknown HF checkpoint {config_or_name!r}: not in the offline "
+                f"architecture table {sorted(_HF_OFFLINE_ARCHITECTURES)} and not "
+                f"loadable locally ({exc})"
+            ) from exc
+    # A transformers PretrainedConfig (duck-typed: no hard import needed).
+    attrs = config_or_name.to_dict() if hasattr(config_or_name, "to_dict") else vars(config_or_name)
+    attrs = dict(attrs)
+    attrs.setdefault("model_type", getattr(config_or_name, "model_type", None))
+    return attrs
+
+
+def hf_architecture_kwargs(config_or_name: Any) -> Dict[str, Any]:
+    """ModelConfig kwargs for an HF BART/T5 architecture.
+
+    Mirrors what the reference's ``load_bart_model``/``load_t5_model``
+    (reference wrapper.py:32-60, :183-199) take from
+    ``AutoConfig.from_pretrained``: every stack dimension, dropout and
+    activation. Accepts a checkpoint name (offline table / local path), a
+    ``transformers`` config object, or a plain attr dict.
+    """
+    a = _hf_attrs(config_or_name)
+    model_type = a.get("model_type")
+    if model_type == "bart":
+        return {
+            "d_model": a["d_model"],
+            "encoder_layers": a["encoder_layers"],
+            "decoder_layers": a["decoder_layers"],
+            "encoder_attention_heads": a["encoder_attention_heads"],
+            "decoder_attention_heads": a["decoder_attention_heads"],
+            "encoder_ffn_dim": a["encoder_ffn_dim"],
+            "decoder_ffn_dim": a["decoder_ffn_dim"],
+            "dropout": a["dropout"],
+            "activation_function": a["activation_function"],
+            "max_position_embeddings": a["max_position_embeddings"],
+        }
+    if model_type == "t5":
+        if a["d_kv"] * a["num_heads"] != a["d_model"]:
+            raise ValueError(
+                f"T5 config has d_kv={a['d_kv']} x num_heads={a['num_heads']} != "
+                f"d_model={a['d_model']}; this family derives head_dim = "
+                "d_model // heads and cannot express decoupled d_kv"
+            )
+        buckets = a.get("relative_attention_num_buckets", 32)
+        max_dist = a.get("relative_attention_max_distance", 128)
+        if (buckets, max_dist) != (32, 128):
+            raise ValueError(
+                f"T5 relative-bias shape ({buckets} buckets, max_distance "
+                f"{max_dist}) differs from the (32, 128) this build pins "
+                "(ops/positional.py t5_relative_bucket)"
+            )
+        proj = a.get("feed_forward_proj", "relu")
+        gated = proj.startswith("gated-")
+        act = proj[len("gated-"):] if gated else proj
+        if act not in ("relu", "gelu"):
+            raise ValueError(f"Unsupported T5 feed_forward_proj {proj!r}")
+        num_layers = a["num_layers"]
+        return {
+            "d_model": a["d_model"],
+            "encoder_layers": num_layers,
+            "decoder_layers": a.get("num_decoder_layers") or num_layers,
+            "encoder_attention_heads": a["num_heads"],
+            "decoder_attention_heads": a["num_heads"],
+            "encoder_ffn_dim": a["d_ff"],
+            "decoder_ffn_dim": a["d_ff"],
+            "dropout": a["dropout_rate"],
+            "activation_function": act,
+            "gated_linear": gated,
+        }
+    raise ValueError(f"Unsupported HF model_type {model_type!r} (bart | t5)")
+
+
+# The HF model types whose dimensions the reference sources from AutoConfig;
+# CustomModel/CustomBart take theirs from explicit YAML kwargs instead
+# (reference wrapper.py:87-167).
+_HF_DERIVED_TYPES = ("BartForConditionalGeneration", "T5ForConditionalGeneration")
+
 
 def resolve_model_config(
     model_config: Dict[str, Any],
@@ -166,6 +301,13 @@ def resolve_model_config(
     if model_type not in MODEL_PRESETS:
         raise ValueError(f"Unknown model type {model_type}")
     merged: Dict[str, Any] = dict(MODEL_PRESETS[model_type])
+    # HF types derive their dimensions from the named checkpoint's config,
+    # exactly as the reference does (wrapper.py:53-60 / :192-199:
+    # AutoConfig.from_pretrained(model_name, **kwargs)); explicit YAML keys
+    # below override on top, matching the reference's kwargs precedence.
+    model_name = model_config.get("model_name")
+    if model_name and model_type in _HF_DERIVED_TYPES:
+        merged.update(hf_architecture_kwargs(model_name))
     for key, value in model_config.items():
         if key in _CONFIG_FIELDS and value is not None:
             merged[key] = value
