@@ -318,6 +318,23 @@ def normalize_spectrum(spectrum: np.ndarray) -> np.ndarray:
     return (clipped - min_val) / (max_val - min_val)
 
 
+def normalize_spectrum_block(spectra: np.ndarray) -> np.ndarray:
+    """Row-wise ``normalize_spectrum`` over a (P, L) block — float-identical
+    per element (min/max are exact, the subtract/divide are elementwise)."""
+    spectra = np.asarray(spectra, dtype=np.float64)
+    min_val = spectra.min(axis=1, keepdims=True)
+    max_val = spectra.max(axis=1, keepdims=True)
+    clipped = np.maximum(spectra, 0)
+    span = max_val - min_val
+    flat = (span == 0.0)[:, 0]
+    # Avoid divide-by-zero on flat rows; they are zeroed below, matching
+    # the scalar path's early return.
+    out = (clipped - min_val) / np.where(span == 0.0, 1.0, span)
+    if flat.any():
+        out[flat] = 0.0
+    return out
+
+
 def mix_spectra(
     dataset: TableDataset,
     mix_config: Dict[str, Any],
@@ -369,6 +386,21 @@ def mix_spectra(
         return
 
     ratios = np.asarray(compounds_ratio)
+    # Chunk-vectorized synthesis (driver-round 4): one gather + one
+    # np.average per CHUNK of mixtures instead of per sample. The arithmetic
+    # is float-IDENTICAL to the per-sample reference loop — np.average with
+    # 1-D weights broadcasts/multiplies/sums the same f32*f64 elementwise
+    # ops whether the reduction axis is 0 of (n_comp, L) or 1 of
+    # (C, n_comp, L) — pinned by the executed-reference goldens in
+    # tests/test_reference_preproc_parity.py::test_mix_spectra_stream_*.
+    # Chunk size 128 measured 3x faster than per-sample on this host
+    # (14 us/mixture vs 44); FULL 16k blocks are 10x SLOWER — the f64
+    # intermediates (0.5 GB) fall out of cache on the single weak core.
+    equal_lengths = len({len(s) for s in ir_col}) <= 1
+    pool = np.stack(ir_col) if (equal_lengths and n_rows) else None
+    nonzero = [i for i in range(n_compounds) if ratios[i] != 0]
+    percent_str = [f"{r}" for r in ratios]
+    chunk_size = 128
     for n in range(max_n_samples // parallel_samples):
         random_indices = rng.choice(n_rows, size=(parallel_samples, n_compounds))
         random_indices = np.unique(random_indices, axis=0)
@@ -378,32 +410,57 @@ def mix_spectra(
         if n * parallel_samples + parallel_samples >= num_expected:
             break
 
-        for idx in random_indices:
-            spectra = np.stack([ir_col[s] for s in idx])
-            combined = np.average(spectra, weights=ratios, axis=0)
-            if normalize:
-                combined = normalize_spectrum(combined)
-            if combined.shape[0] != 1800:  # pad real data
-                combined = np.concatenate(
-                    [combined, np.zeros(1800 - combined.shape[0],
-                                        dtype=combined.dtype)])
-            combined = combined.astype(np.float32)
-            for i in range(n_compounds):
-                if ratios[i] == 0:
-                    continue
-                # ndarrays, not lists: the collator re-parses Python lists
-                # at ~1 ms per 1800-float row (the round-2 mixture pipeline
-                # bottleneck — 405 samples/s host-bound vs ~5k on chip).
-                yield {
-                    "Smiles": smiles_col[idx[i]],
-                    "Formula": formula_col[idx[i]],
-                    "IR": combined,
-                    "Additional_smiles": ",".join(
-                        smiles_col[idx[j]] for j in range(n_compounds) if j != i
-                    ),
-                    "Percentage": f"{ratios[i]}",
-                    "IR_target": ir_col[idx[i]],
-                }
+        for chunk_start in range(0, len(random_indices), chunk_size):
+            chunk_idx = random_indices[chunk_start : chunk_start + chunk_size]
+            if pool is not None:
+                block = pool[chunk_idx]  # (C, n_compounds, L)
+                combined_block = np.average(block, weights=ratios, axis=1)
+                if normalize:
+                    combined_block = normalize_spectrum_block(combined_block)
+                if combined_block.shape[1] != 1800:  # pad real data
+                    combined_block = np.concatenate(
+                        [combined_block,
+                         np.zeros((combined_block.shape[0],
+                                   1800 - combined_block.shape[1]),
+                                  dtype=combined_block.dtype)], axis=1)
+                combined_block = combined_block.astype(np.float32)
+            else:
+                combined_block = None
+
+            for row_j, idx in enumerate(chunk_idx):
+                if combined_block is not None:
+                    combined = combined_block[row_j]
+                else:  # ragged pool: per-sample fallback (reference path)
+                    spectra = np.stack([ir_col[s] for s in idx])
+                    combined = np.average(spectra, weights=ratios, axis=0)
+                    if normalize:
+                        combined = normalize_spectrum(combined)
+                    if combined.shape[0] != 1800:  # pad real data
+                        combined = np.concatenate(
+                            [combined, np.zeros(1800 - combined.shape[0],
+                                                dtype=combined.dtype)])
+                    combined = combined.astype(np.float32)
+                yield from _emit_components(
+                    idx, combined, nonzero, n_compounds,
+                    smiles_col, formula_col, ir_col, percent_str)
+
+
+def _emit_components(idx, combined, nonzero, n_compounds,
+                     smiles_col, formula_col, ir_col, percent_str):
+    for i in nonzero:
+        # ndarrays, not lists: the collator re-parses Python lists
+        # at ~1 ms per 1800-float row (the round-2 mixture pipeline
+        # bottleneck — 405 samples/s host-bound vs ~5k on chip).
+        yield {
+            "Smiles": smiles_col[idx[i]],
+            "Formula": formula_col[idx[i]],
+            "IR": combined,
+            "Additional_smiles": ",".join(
+                smiles_col[idx[j]] for j in range(n_compounds) if j != i
+            ),
+            "Percentage": percent_str[i],
+            "IR_target": ir_col[idx[i]],
+        }
 
 
 def multi_config_mix(
