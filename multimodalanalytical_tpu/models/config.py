@@ -234,6 +234,17 @@ def hf_architecture_kwargs(config_or_name: Any) -> Dict[str, Any]:
     """
     a = _hf_attrs(config_or_name)
     model_type = a.get("model_type")
+
+    def _validated_activation(name: str, what: str) -> str:
+        from .transformer import _ACTIVATIONS
+
+        if name not in _ACTIVATIONS:
+            raise ValueError(
+                f"Unsupported {what} {name!r}; this build implements "
+                f"{sorted(_ACTIVATIONS)} (models/transformer.py)"
+            )
+        return name
+
     if model_type == "bart":
         return {
             "d_model": a["d_model"],
@@ -244,7 +255,8 @@ def hf_architecture_kwargs(config_or_name: Any) -> Dict[str, Any]:
             "encoder_ffn_dim": a["encoder_ffn_dim"],
             "decoder_ffn_dim": a["decoder_ffn_dim"],
             "dropout": a["dropout"],
-            "activation_function": a["activation_function"],
+            "activation_function": _validated_activation(
+                a["activation_function"], "BART activation_function"),
             "max_position_embeddings": a["max_position_embeddings"],
         }
     if model_type == "t5":
@@ -267,11 +279,20 @@ def hf_architecture_kwargs(config_or_name: Any) -> Dict[str, Any]:
         act = proj[len("gated-"):] if gated else proj
         if act not in ("relu", "gelu"):
             raise ValueError(f"Unsupported T5 feed_forward_proj {proj!r}")
+        if proj == "gated-gelu":
+            # HF T5Config special-cases exactly "gated-gelu" to dense_act_fn
+            # "gelu_new" (tanh approximation); plain "gelu" stays exact-erf.
+            act = "gelu_new"
         num_layers = a["num_layers"]
+        num_decoder_layers = a.get("num_decoder_layers")
         return {
             "d_model": a["d_model"],
             "encoder_layers": num_layers,
-            "decoder_layers": a.get("num_decoder_layers") or num_layers,
+            # HF falls back only on None; an explicit 0 must not silently
+            # become num_layers.
+            "decoder_layers": (num_decoder_layers
+                               if num_decoder_layers is not None
+                               else num_layers),
             "encoder_attention_heads": a["num_heads"],
             "decoder_attention_heads": a["num_heads"],
             "encoder_ffn_dim": a["d_ff"],

@@ -27,6 +27,10 @@ from ..ops.positional import RelativePositionBias
 
 _ACTIVATIONS = {
     "gelu": lambda x: nn.gelu(x, approximate=False),
+    # HF ACT2FN["gelu_new"]: the tanh approximation (NewGELUActivation) —
+    # T5Config maps feed_forward_proj="gated-gelu" to dense_act_fn
+    # "gelu_new", so gated checkpoints must run the approx variant.
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
     "relu": nn.relu,
 }
 

@@ -56,7 +56,31 @@ def test_t5_gated_variant_maps_to_gated_linear():
         feed_forward_proj="gated-gelu",
     ))
     assert kw["gated_linear"] is True
-    assert kw["activation_function"] == "gelu"
+    # HF T5Config maps exactly "gated-gelu" to dense_act_fn "gelu_new"
+    # (the tanh approximation); plain "gelu" stays exact-erf.
+    assert kw["activation_function"] == "gelu_new"
+
+
+def test_t5_explicit_zero_decoder_layers_not_coerced():
+    kw = hf_architecture_kwargs(dict(
+        model_type="t5", d_model=512, d_ff=1024, num_layers=8,
+        num_decoder_layers=0, num_heads=8, d_kv=64, dropout_rate=0.1,
+        feed_forward_proj="relu",
+    ))
+    # HF falls back to num_layers only on None, not on falsy 0.
+    assert kw["decoder_layers"] == 0
+
+
+def test_bart_unknown_activation_rejected_early():
+    import pytest
+
+    with pytest.raises(ValueError, match="activation_function"):
+        hf_architecture_kwargs(dict(
+            model_type="bart", d_model=512, encoder_layers=6, decoder_layers=6,
+            encoder_attention_heads=8, decoder_attention_heads=8,
+            encoder_ffn_dim=2048, decoder_ffn_dim=2048, dropout=0.1,
+            activation_function="swish", max_position_embeddings=1024,
+        ))
 
 
 def test_t5_decoupled_d_kv_is_rejected():
