@@ -75,9 +75,9 @@ def test_tp_equals_dp_train_step():
             return ["C"] * len(ids)
 
     results = {}
-    for n_data, n_model in ((8, 1), (4, 2)):
+    for n_data, n_model in ((8, 1), (4, 2), (2, 4)):
         mesh = make_mesh(n_data=n_data, n_model=n_model,
-                         devices=jax.devices()[:8])
+                         devices=jax.devices()[: n_data * n_model])
         trainer = Trainer(model, _Tok(), num_steps=4, lr=1e-3, mesh=mesh,
                           seed=0)
         state = trainer.init_state(batch)
@@ -97,9 +97,11 @@ def test_tp_equals_dp_train_step():
         )
 
     loss_dp, leaf_dp = results[(8, 1)]
-    loss_tp, leaf_tp = results[(4, 2)]
-    assert abs(loss_dp - loss_tp) < 1e-5, (loss_dp, loss_tp)
-    np.testing.assert_allclose(leaf_dp, leaf_tp, rtol=2e-4, atol=2e-5)
+    for shape in ((4, 2), (2, 4)):  # 2-way and 4-way head/FFN splits
+        loss_tp, leaf_tp = results[shape]
+        assert abs(loss_dp - loss_tp) < 1e-5, (shape, loss_dp, loss_tp)
+        np.testing.assert_allclose(leaf_dp, leaf_tp, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"mesh {shape}")
 
 
 def test_multihost_two_process_cpu():
