@@ -77,28 +77,40 @@ run synth4k_guided python -m multimodalanalytical_tpu.cli.predict \
   preprocessor_path="$WORK/synth4k/preprocessor.json" \
   model.model_checkpoint_path="$WORK/synth4k/checkpoints/best"
 
-# 5. mixture rows (50k pure-compound pool). All three command paths were
-# CPU-validated end-to-end this round (losses falling through step 4000+
-# on the 1200-pool set; binary/ternary/multitask_w_pure all trained).
+# 5. mixture rows (50k pure-compound pool). A streaming-mixture "epoch" is
+# the full 320M-sample stream, so runs are bounded by an explicit
+# train_max_n_samples data budget (OneCycle anneals over exactly that
+# budget) + mid-epoch val_check_interval, NOT by trainer.epochs.
+# Measured (driver-round 4): the align model sustains ~2.6k samples/s on
+# one v5e with a contention-free host, so 40M samples ~= 4.5 h.
 if [ ! -d /tmp/synth_ir_50k ]; then
   run make50k python benchmarks/accuracy/make_dataset.py --n 50000 --out /tmp/synth_ir_50k
 fi
-# Extended binary: 4x the round-3 pass count (the run was still improving
-# at cutoff); improvement saves stay rate-limited for tunnel traffic.
 run mix_binary_ext python -m multimodalanalytical_tpu.cli.training \
   working_dir="$WORK" job_name=mix_binary_ext \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/binary model=custom_model_align splitting=unique_target \
-  trainer.epochs=24 trainer.checkpoint_every_n_vals=15 molecules=True
+  molecules=True trainer.epochs=1 \
+  mixture.balanced.train_max_n_samples=40000000 \
+  trainer.val_check_interval=10000 trainer.checkpoint_every_n_vals=5
 run mix_ternary python -m multimodalanalytical_tpu.cli.training \
   working_dir="$WORK" job_name=mix_ternary \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/ternary model=custom_model_align splitting=unique_target \
-  trainer.epochs=8 trainer.checkpoint_every_n_vals=15 molecules=True
+  molecules=True trainer.epochs=1 \
+  mixture.balanced.train_max_n_samples=6000000 \
+  trainer.val_check_interval=5000 trainer.checkpoint_every_n_vals=5
 run mix_multitask python -m multimodalanalytical_tpu.cli.training \
   working_dir="$WORK" job_name=mix_multitask \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/multitask_w_pure model=custom_model_align splitting=unique_target \
-  trainer.epochs=8 trainer.checkpoint_every_n_vals=15 molecules=True
+  molecules=True trainer.epochs=1 \
+  mixture.balanced.train_max_n_samples=1000000 \
+  mixture.unbalanced_4_6.train_max_n_samples=1000000 \
+  mixture.unbalanced_3_7.train_max_n_samples=1000000 \
+  mixture.unbalanced_2_8.train_max_n_samples=1000000 \
+  mixture.unbalanced_1_9.train_max_n_samples=1000000 \
+  mixture.unbalanced_0_10.train_max_n_samples=1000000 \
+  trainer.val_check_interval=5000 trainer.checkpoint_every_n_vals=5
 
 echo "done; logs in $WORK/logs" | tee -a "$WORK/logs/driver.log"
