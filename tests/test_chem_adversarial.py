@@ -379,3 +379,128 @@ def test_macrocyclic_ez_distinct():
     assert len({e, z, plain}) == 3
     for r in random_smiles("C1CCCC/C=C/CCC1", 25):
         assert canonicalize(r) == e, r
+
+
+# ---------------------------------------------------------------------------
+# Driver-round-4 corpus growth (VERDICT r3 item 6): aromatic N-H tautomer
+# positional isomers, organometallic-adjacent charged fragments, stereo
+# through macrocycles, multi-fragment salts with isotopes.
+
+# Positional N-H isomers of aromatic azoles ARE distinct molecules (the H
+# sits on a different ring nitrogen); a collision would silently merge
+# e.g. adenine with its 7H tautomer in Top-N scoring. Each row: two
+# DISTINCT molecules plus an alternate rendering of the first that must
+# collapse onto it.
+AROMATIC_NH_POSITIONAL = [
+    ("indazole", "c1ccc2[nH]ncc2c1", "c1ccc2c(c1)c[nH]n2", "c1cc2cn[nH]c2cc1"),
+    ("purine", "c1ncc2[nH]cnc2n1", "c1ncc2nc[nH]c2n1", "c1[nH]c2cncnc2n1"),
+    ("adenine", "Nc1ncnc2[nH]cnc12", "Nc1ncnc2nc[nH]c12",
+     "c1nc(N)c2c(n1)[nH]cn2"),
+    ("methylimidazole", "Cc1c[nH]cn1", "Cc1cnc[nH]1", "Cc1nc[nH]c1"),
+    ("methylpyrazole", "Cc1cc[nH]n1", "Cc1[nH]ncc1", "Cc1nn(cc1)[H]"),
+    ("triazole", "c1nc[nH]n1", "c1n[nH]nc1", "n1cnc[nH]1"),
+]
+
+
+@pytest.mark.parametrize("name,a,b,a_alt", AROMATIC_NH_POSITIONAL,
+                         ids=[t[0] for t in AROMATIC_NH_POSITIONAL])
+def test_aromatic_nh_positional_isomers(name, a, b, a_alt):
+    ca, cb, calt = canonicalize(a), canonicalize(b), canonicalize(a_alt)
+    assert ca is not None and cb is not None, (ca, cb)
+    assert ca != cb, f"{name}: positional N-H isomers collapsed to {ca}"
+    assert calt == ca, f"{name}: rendering of the same tautomer diverged"
+    for r in random_smiles(a, 25):
+        assert canonicalize(r) == ca, r
+
+
+# Organometallic-adjacent charged fragments (Grignard-like cations, metal
+# carboxylates/cyanides, carbanions): must parse, keep charges, and order
+# fragments canonically.
+ORGANOMETALLIC_ADJACENT = [
+    ("grignard_like", "C[Mg+].[Br-]", "C[Mg+].[Br-]"),
+    ("mgcl2", "[Mg+2].[Cl-].[Cl-]", "[Cl-].[Cl-].[Mg+2]"),
+    ("zn_acetate", "[Zn+2].CC([O-])=O.CC([O-])=O",
+     "CC([O-])=O.CC([O-])=O.[Zn+2]"),
+    ("ferricyanide", "[Fe+3].[C-]#N.[C-]#N.[C-]#N.[C-]#N.[C-]#N.[C-]#N",
+     "[C-]#N.[C-]#N.[C-]#N.[C-]#N.[C-]#N.[C-]#N.[Fe+3]"),
+    ("methyllithium_ionic", "[Li+].[CH3-]", "[CH3-].[Li+]"),
+    ("potassium_enolate", "C=C([O-])C.[K+]", "C=C(C)[O-].[K+]"),
+    ("copper_nitrate", "[Cu+2].[O-][N+](=O)[O-].[O-][N+](=O)[O-]",
+     "[Cu+2].[O-][N+]([O-])=O.[O-][N+]([O-])=O"),
+]
+
+
+@pytest.mark.parametrize("name,smiles,expected", ORGANOMETALLIC_ADJACENT,
+                         ids=[t[0] for t in ORGANOMETALLIC_ADJACENT])
+def test_organometallic_adjacent_fragments(name, smiles, expected):
+    out = canonicalize(smiles)
+    assert out == expected, (out, expected)
+    assert canonicalize(out) == out  # idempotent
+    for r in random_smiles(smiles, 25):
+        assert canonicalize(r) == expected, r
+
+
+def test_macrocycle_stereo_classes():
+    """Stereo through 12-membered macrocycles: E/Z ring bonds, transannular
+    stereocenter pairs, and mixed E/Z pairs stay distinct; a lone mark in a
+    locally-symmetric macrocycle is spurious and must drop."""
+    e = canonicalize("C1/C=C/CCCCCCCCC1")
+    z = canonicalize("C1/C=C\\CCCCCCCCC1")
+    flat = canonicalize("C1C=CCCCCCCCCC1")
+    assert len({e, z, flat}) == 3
+    # methylcyclododecane C1 has two equivalent ring arms: not stereogenic
+    assert "@" not in canonicalize("C[C@H]1CCCCCCCCCCC1")
+    # transannular diol pair: cis/trans/flat all distinct
+    cis = canonicalize("O[C@H]1CCCCC[C@H](O)CCCCC1")
+    trans = canonicalize("O[C@H]1CCCCC[C@@H](O)CCCCC1")
+    dflat = canonicalize("OC1CCCCCC(O)CCCCC1")
+    assert len({cis, trans, dflat}) == 3
+    # two ring double bonds: (E,E) vs (E,Z) vs unspecified
+    ee = canonicalize("C1/C=C/CCCC/C=C/CCCC1")
+    ez = canonicalize("C1/C=C/CCCC/C=C\\CCCC1")
+    dd = canonicalize("C1C=CCCCCC=CCCCC1")
+    assert len({ee, ez, dd}) == 3
+    for r in random_smiles("O[C@H]1CCCCC[C@H](O)CCCCC1", 25):
+        assert canonicalize(r) == cis, r
+
+
+def test_multifragment_salt_order_invariance_with_isotopes():
+    """Fragment write-order must not leak into the canonical string, and
+    isotopic fragments must not merge with their unlabeled twins."""
+    a = canonicalize("[2H]C([2H])([2H])[N+](C)(C)C.[13CH3]C([O-])=O")
+    b = canonicalize("[13CH3]C([O-])=O.[2H]C([2H])([2H])[N+](C)(C)C")
+    assert a is not None and a == b
+    assert canonicalize("[Cl-].C[N+](C)(C)C") == canonicalize(
+        "C[N+](C)(C)C.[Cl-]")
+    assert canonicalize("[2H]O[2H].[Na+].[Cl-]") == canonicalize(
+        "[Na+].[Cl-].[2H]O[2H]")
+    # isotope-labeled vs unlabeled salts are different species
+    assert canonicalize("[13CH3][N+](C)(C)C.[I-]") != canonicalize(
+        "C[N+](C)(C)C.[I-]")
+    # triple-fragment permutations all collapse
+    perms = ["[Na+].[Cl-].[2H]O[2H]", "[Cl-].[2H]O[2H].[Na+]",
+             "[2H]O[2H].[Na+].[Cl-]"]
+    outs = {canonicalize(p) for p in perms}
+    assert len(outs) == 1 and None not in outs
+
+
+def test_rendering_idempotence_fuzz_120k():
+    """Scaled canonical-idempotence fuzz (VERDICT r3 item 6): 120k random
+    renderings across the whole pinned corpus; every rendering must
+    canonicalize to the pinned form, and re-canonicalization must be a
+    fixed point. Any collision here is a release-blocking Top-N bug."""
+    corpus = [(n, s, e) for n, s, e in GOLDENS]
+    corpus += [(n, a, None) for n, a, b, _ in AROMATIC_NH_POSITIONAL]
+    corpus += [(n, s, e) for n, s, e in ORGANOMETALLIC_ADJACENT]
+    per = max(1, 120_000 // len(corpus))
+    total = 0
+    for name, smiles, expected in corpus:
+        base = canonicalize(smiles)
+        assert base is not None, name
+        if expected is not None:
+            assert base == expected, (name, base, expected)
+        assert canonicalize(base) == base, name
+        for r in random_smiles(smiles, per):
+            assert canonicalize(r) == base, (name, r)
+            total += 1
+    assert total >= 100_000, total
