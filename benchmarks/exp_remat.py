@@ -171,8 +171,101 @@ def main():
         # Python-bool ``deterministic`` (self counts as 0).
         tr.FeedForward = nn.remat(tr.FeedForward, static_argnums=(2,))
 
+    def _matmulonly_fn():
+        """GEMM skeleton: the step's matmul inventory at the exact bench
+        shapes/dtypes, chained through residual adds, with every
+        elementwise stage (LN, softmax, dropout, gelu) and every layout
+        change removed. value_and_grad over the weights gives the same
+        fwd+bwd GEMM count as the model, so its ms/step is the MXU-bound
+        floor of the current architecture: the gap between it and `base`
+        is what fusion-structure work (e.g. a Pallas attention block)
+        could ever reclaim (VERDICT r3 item 2)."""
+        import numpy as np
+
+        d, ffn, vocab = 512, 2048, pt.VOCAB
+        b, src, tgt = pt.BATCH, 26, pt.TARGET_LEN
+        rng_np = np.random.default_rng(0)
+
+        def w(*shape):
+            return jnp.asarray(
+                rng_np.standard_normal(shape, dtype=np.float32) * 0.02,
+                dtype=jnp.bfloat16)
+
+        weights = {}
+        for i in range(6):
+            weights[f"enc{i}"] = {
+                "qkv": w(d, 3 * d), "o": w(d, d),
+                "ff1": w(d, ffn), "ff2": w(ffn, d),
+            }
+            weights[f"dec{i}"] = {
+                "qkv": w(d, 3 * d), "o": w(d, d),
+                "xq": w(d, d), "xkv": w(d, 2 * d), "xo": w(d, d),
+                "ff1": w(d, ffn), "ff2": w(ffn, d),
+            }
+        weights["logits"] = w(d, vocab)
+        x_enc = jnp.asarray(rng_np.standard_normal((b * src, d),
+                                                   dtype=np.float32),
+                            dtype=jnp.bfloat16)
+        x_dec = jnp.asarray(rng_np.standard_normal((b * tgt, d),
+                                                   dtype=np.float32),
+                            dtype=jnp.bfloat16)
+
+        h_heads, dh = 8, d // 8
+
+        def attn_gemms(q, k, v, lq, lk):
+            # the two true attention contractions, softmax replaced by a
+            # bf16 cast (identity-cost); operands stay (B, L, H, Dh) and
+            # XLA picks layouts, exactly like the attnlayout variant
+            q = q.reshape(b, lq, h_heads, dh)
+            k = k.reshape(b, lk, h_heads, dh)
+            v = v.reshape(b, lk, h_heads, dh)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", s.astype(jnp.bfloat16), v)
+            return ctx.reshape(b * lq, d)
+
+        def skeleton(ws):
+            h = x_enc
+            for i in range(6):
+                lw = ws[f"enc{i}"]
+                qkv = h @ lw["qkv"]
+                ctx = attn_gemms(qkv[:, :d], qkv[:, d:2 * d],
+                                 qkv[:, 2 * d:], src, src)
+                h = h + ctx @ lw["o"]
+                h = h + (h @ lw["ff1"]) @ lw["ff2"]
+            enc = h
+            g = x_dec
+            for i in range(6):
+                lw = ws[f"dec{i}"]
+                qkv = g @ lw["qkv"]
+                ctx = attn_gemms(qkv[:, :d], qkv[:, d:2 * d],
+                                 qkv[:, 2 * d:], tgt, tgt)
+                g = g + ctx @ lw["o"]
+                kv = enc @ lw["xkv"]
+                q = g @ lw["xq"]
+                xctx = attn_gemms(q, kv[:, :d], kv[:, d:], tgt, src)
+                g = g + xctx @ lw["xo"]
+                g = g + (g @ lw["ff1"]) @ lw["ff2"]
+            logits = (g @ ws["logits"]).astype(jnp.float32)
+            return jnp.mean(logits)
+
+        def f(p, r):
+            del r
+            loss, grads = jax.value_and_grad(skeleton)(weights)
+            return loss, grads
+
+        return f, weights
+
     def make(name):
         _restore()
+        if name == "matmulonly":
+            f_skel, skel_weights = _matmulonly_fn()
+
+            @jax.jit
+            def g_skel(p, r):
+                loss, grads = f_skel(skel_weights, r)
+                return loss, jax.tree_util.tree_map(lambda x: x.sum(), grads)
+            return g_skel
         if name == "flaxdrop":
             # CONTROL: the product default is now the key-saving dropout;
             # this restores flax nn.Dropout for the A/B.
