@@ -18,6 +18,17 @@ evidence on the CPU backend, at a reduced-but-real scale:
      default.
 
 Usage: python benchmarks/accuracy/guided_exact_vs_surrogate.py [workdir]
+
+Flagship-scale mode (VERDICT r3 item 3): reuse an existing d512 6+6
+checkpoint instead of training the small model —
+
+  python benchmarks/accuracy/guided_exact_vs_surrogate.py /tmp/guided_fs \\
+      --checkpoint /tmp/tpu_backlog/synth4k/checkpoints/best \\
+      --preprocessor /tmp/tpu_backlog/synth4k/preprocessor.json \\
+      --data /tmp/synth_ir_dataset --flagship --limit 256
+
+--limit N caps the test rows via the predict CLI's test_idx mechanism
+(cli/common.py) so the CPU-only exact mode stays tractable at d512.
 """
 
 from __future__ import annotations
@@ -52,25 +63,64 @@ def sh(args, **kw):
                           env=env, **kw)
 
 
+FLAGSHIP_OVERRIDES = [
+    "model=custom_model",
+    "model.dtype=float32",   # CPU backend; keep modes numerically identical
+    "model.batch_size=64",
+]
+
+
 def main() -> None:
-    work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/guided_ab")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/guided_ab")
+    ap.add_argument("--checkpoint", default=None,
+                    help="existing checkpoint dir (skips the training stage)")
+    ap.add_argument("--preprocessor", default=None)
+    ap.add_argument("--data", default=None, help="dataset dir override")
+    ap.add_argument("--flagship", action="store_true",
+                    help="use the d512 6+6 custom_model preset")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="cap test rows via test_idx (0 = all)")
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
+    data = Path(args.data) if args.data else DATA
+    overrides = FLAGSHIP_OVERRIDES if args.flagship else MODEL_OVERRIDES
 
-    if not DATA.exists():
+    if not data.exists():
         sh([sys.executable, "benchmarks/accuracy/make_dataset.py",
-            "--n", "1200", "--out", DATA])
+            "--n", "1200", "--out", data])
 
-    ckpt = work / "train" / "checkpoints" / "best"
-    if not ckpt.exists():
-        sh([sys.executable, "-m", "multimodalanalytical_tpu.cli.training",
-            f"working_dir={work}", "job_name=train",
-            "data=ir/patches", f"data_path={DATA}",
-            *MODEL_OVERRIDES,
-            # Greedy Top-1 stays 0.0 for the first ~30 epochs at this small
-            # scale (the 4k d512 run lifted off at epoch 9; d128 is later),
-            # so early-stop on val_loss, not molecular accuracy.
-            "trainer.checkpoint_monitor=val_loss",
-            "trainer.epochs=150", "trainer.early_stopping_patience=25"])
+    if args.checkpoint:
+        ckpt = Path(args.checkpoint)
+        prep = Path(args.preprocessor) if args.preprocessor else (
+            ckpt.parent.parent / "preprocessor.json")
+    else:
+        ckpt = work / "train" / "checkpoints" / "best"
+        prep = work / "train" / "preprocessor.json"
+        if not ckpt.exists():
+            sh([sys.executable, "-m", "multimodalanalytical_tpu.cli.training",
+                f"working_dir={work}", "job_name=train",
+                "data=ir/patches", f"data_path={data}",
+                *overrides,
+                # Greedy Top-1 stays 0.0 for the first ~30 epochs at this
+                # small scale (the 4k d512 run lifted off at epoch 9; d128
+                # is later), so early-stop on val_loss, not molecular
+                # accuracy.
+                "trainer.checkpoint_monitor=val_loss",
+                "trainer.epochs=150", "trainer.early_stopping_patience=25"])
+
+    limit_args = []
+    if args.limit:
+        import numpy as np
+
+        idx_path = work / f"test_idx_{args.limit}.npy"
+        # the same deterministic row subset for all three modes
+        np.save(idx_path, np.arange(args.limit))
+        limit_args = [f"test_idx={idx_path}"]
 
     results = {}
     for mode, extra in (
@@ -81,9 +131,9 @@ def main() -> None:
         t0 = time.perf_counter()
         sh([sys.executable, "-m", "multimodalanalytical_tpu.cli.predict",
             f"working_dir={work}", f"job_name=pred_{mode}",
-            "data=ir/patches", f"data_path={DATA}",
-            *MODEL_OVERRIDES,
-            f"preprocessor_path={work / 'train' / 'preprocessor.json'}",
+            "data=ir/patches", f"data_path={data}",
+            *overrides, *limit_args,
+            f"preprocessor_path={prep}",
             f"model.model_checkpoint_path={ckpt}",
             *extra])
         wall = time.perf_counter() - t0
