@@ -132,14 +132,39 @@ def main():
 
         attn_mod.MultiHeadAttention.__call__ = call
 
+    def _patch_pallasdrop():
+        """Route every dropout site through the Pallas fused kernel
+        (ops/fused_dropout.py): bits generated in-kernel by the TPU-core
+        PRNG, fused with the mask-multiply — no u32 bit tensors in HBM in
+        either pass (the copy bucket that survived rounds 5-6)."""
+        import flax.linen as nn
+
+        from multimodalanalytical_tpu.ops import dropout as drop_mod
+        from multimodalanalytical_tpu.ops.fused_dropout import pallas_dropout
+
+        def patched(self, inputs, deterministic=None, rng=None):
+            deterministic = nn.merge_param(
+                "deterministic", self.deterministic, deterministic)
+            if self.rate == 0.0 or deterministic:
+                return inputs
+            if self.rate == 1.0:
+                return jnp.zeros_like(inputs)
+            if rng is None:
+                rng = self.make_rng(self.rng_collection)
+            return pallas_dropout(inputs, rng, self.rate)
+
+        drop_mod.Dropout.__call__ = patched
+
     def _orig_state():
         import flax.linen as nn
 
         from multimodalanalytical_tpu.ops import attention as attn_mod
+        from multimodalanalytical_tpu.ops import dropout as drop_mod
         import multimodalanalytical_tpu.models.transformer as tr
 
         return {
             "nn_dropout_call": nn.Dropout.__call__,
+            "repo_dropout_call": drop_mod.Dropout.__call__,
             "attn_call": attn_mod.MultiHeadAttention.__call__,
             "tr_feedforward": tr.FeedForward,
             "tr_dropout": tr.Dropout,
@@ -153,9 +178,11 @@ def main():
         import flax.linen as nn
 
         from multimodalanalytical_tpu.ops import attention as attn_mod
+        from multimodalanalytical_tpu.ops import dropout as drop_mod
         import multimodalanalytical_tpu.models.transformer as tr
 
         nn.Dropout.__call__ = _ORIG["nn_dropout_call"]
+        drop_mod.Dropout.__call__ = _ORIG["repo_dropout_call"]
         attn_mod.MultiHeadAttention.__call__ = _ORIG["attn_call"]
         tr.FeedForward = _ORIG["tr_feedforward"]
         tr.Dropout = _ORIG["tr_dropout"]
@@ -289,6 +316,11 @@ def main():
                 return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
         elif name == "keydrop":
             _patch_keydrop()
+
+            def f(p, r):
+                return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
+        elif name == "pallasdrop":
+            _patch_pallasdrop()
 
             def f(p, r):
                 return jax.value_and_grad(lambda q: loss_fn(q, _rbg(r)))(p)
