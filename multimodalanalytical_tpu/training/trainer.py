@@ -47,6 +47,34 @@ logger = logging.getLogger(__name__)
 # loaders (VERDICT r3 item 7).
 PIPELINE_DEPTH = 8
 
+
+def _retry_resource_exhausted(fn, what: str, attempts: int = 3,
+                              wait_s: float = 10.0):
+    """Run ``fn`` with a bounded retry on RESOURCE_EXHAUSTED.
+
+    The axon relay intermittently fails a ~MB-scale host->device transfer
+    with a bare ``TPU backend error (ResourceExhausted)`` even when steady-
+    state HBM use is far below capacity (driver-round 4: a 40M-sample run
+    died at step 30k on the device_put of a routine train batch, after 30k
+    identical transfers). A genuine OOM fails all retries and re-raises;
+    a transient allocator/relay spike costs ``wait_s`` instead of a
+    multi-hour run. gc between tries drops any Python-held buffer handles
+    whose deletes have not yet reached the relay.
+    """
+    import gc
+
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc) or attempt == attempts - 1:
+                raise
+            logger.warning(
+                "RESOURCE_EXHAUSTED during %s (attempt %d/%d); gc + %.0fs "
+                "backoff before retry", what, attempt + 1, attempts, wait_s)
+            gc.collect()
+            time.sleep(wait_s)
+
 OPTIMISER_REGISTRY = {"adam": optax.adam, "adamw": optax.adamw}
 
 
@@ -410,9 +438,12 @@ class Trainer:
             epoch_start = time.time()
             n_samples = 0
             for batch in train_loader:
-                device_batch = shard_batch(
-                    _device_batch(batch, self.model.config.compute_dtype),
-                    self.mesh,
+                device_batch = _retry_resource_exhausted(
+                    lambda: shard_batch(
+                        _device_batch(batch, self.model.config.compute_dtype),
+                        self.mesh,
+                    ),
+                    "train-batch device_put",
                 )
                 if self._train_step is None:
                     segments = _modality_segments(
@@ -496,7 +527,10 @@ class Trainer:
         import threading
 
         if self._log_queue is None:
-            self._log_queue = queue.Queue()
+            # Bounded: if the drain thread ever falls behind (host CPU
+            # contention), puts block briefly instead of accumulating
+            # device-scalar handles without limit.
+            self._log_queue = queue.Queue(maxsize=256)
 
             def drain():
                 while True:
@@ -703,10 +737,13 @@ class Trainer:
         for i, batch in enumerate(val_loader):
             if i >= max_batches:
                 break
-            device_batch = shard_batch(
+            device_batch = _retry_resource_exhausted(
+                lambda: shard_batch(
                     _device_batch(batch, self.model.config.compute_dtype),
                     self.mesh,
-                )
+                ),
+                "val-batch device_put",
+            )
             out = eval_step(state.params, device_batch)
             seqs, _ = decode(
                 state.params, device_batch["encoder_inputs"],
@@ -785,10 +822,13 @@ class Trainer:
                     extras.setdefault(col, []).extend(list(values)[:n_valid])
 
         for batch in loader:
-            device_batch = shard_batch(
+            device_batch = _retry_resource_exhausted(
+                lambda: shard_batch(
                     _device_batch(batch, self.model.config.compute_dtype),
                     self.mesh,
-                )
+                ),
+                "predict-batch device_put",
+            )
             out = eval_step(state.params, device_batch)
 
             if guided is not None:
