@@ -484,6 +484,104 @@ def test_multifragment_salt_order_invariance_with_isotopes():
     assert len(outs) == 1 and None not in outs
 
 
+# ---------------------------------------------------------------------------
+# Orbit-count tests (driver-round 4). Stronger than example pairs: enumerate
+# EVERY full stereo-mark pattern of a symmetric skeleton and assert the number
+# of distinct canonical strings equals the number of distinct stereoisomers
+# known from group theory (Burnside over the proper-rotation group of the
+# skeleton). This is convention-independent — it cannot be fooled by the
+# author mislabeling which SMILES is which diastereomer — and it pins BOTH
+# directions of the contract at once: distinct molecules stay distinct (no
+# Top-N inflation) and equivalent mark patterns collapse (no Top-N deflation).
+
+
+def _mark_patterns(n):
+    import itertools
+
+    return itertools.product(["@", "@@"], repeat=n)
+
+
+def test_inositol_orbit_count_is_nine():
+    """1,2,3,4,5,6-hexahydroxycyclohexane: 64 mark patterns -> exactly the 9
+    inositols (cis, epi, allo, myo, muco, neo, scyllo, D-chiro, L-chiro).
+
+    Burnside on the 2^6 face patterns under the ring's proper rotations
+    (C6: 64+2+4+8+4+2 fixed; vertex C2 axes: 0; edge C2 axes: 8 each) gives
+    (64+20+0+24)/12 = 9 orbits. Every ring carbon is a DEPENDENT stereo
+    center (its own substituents tie), so this exercises the spurious-stereo
+    cleaner's hardest case end to end."""
+    outs = {}
+    for bits in _mark_patterns(6):
+        s = (
+            "O[C" + bits[0] + "H]1"
+            + "".join("[C" + m + "H](O)" for m in bits[1:5])
+            + "[C" + bits[5] + "H]1O"
+        )
+        outs[bits] = canonicalize(s)
+    assert None not in outs.values()
+    classes = {}
+    for bits, smi in outs.items():
+        classes.setdefault(smi, []).append(bits)
+    assert len(classes) == 9, sorted((len(v), k) for k, v in classes.items())
+    # orbit sizes from the group action: three of 12, four of 6, two of 2
+    sizes = sorted(len(v) for v in classes.values())
+    assert sizes == [2, 2, 6, 6, 6, 6, 12, 12, 12], sizes
+    # class membership is stable under randomized re-rendering
+    for smi, members in classes.items():
+        src = (
+            "O[C" + members[0][0] + "H]1"
+            + "".join("[C" + m + "H](O)" for m in members[0][1:5])
+            + "[C" + members[0][5] + "H]1O"
+        )
+        for r in random_smiles(src, 10):
+            assert canonicalize(r) == smi, (smi, r)
+
+
+def test_trihydroxyglutarate_pseudoasymmetric_orbit_count_is_four():
+    """2,3,4-trihydroxyglutaric acid: 8 mark patterns -> exactly 4
+    stereoisomers (ribaric + xylaric mesos, where C3 is PSEUDO-ASYMMETRIC
+    and its r/s mark must be KEPT, plus the D/L-arabinaric enantiomer pair,
+    where C3 is non-stereogenic and its mark must be DROPPED)."""
+    outs = {}
+    for bits in _mark_patterns(3):
+        s = (
+            f"OC(=O)[C{bits[0]}H](O)[C{bits[1]}H](O)"
+            f"[C{bits[2]}H](O)C(=O)O"
+        )
+        outs[bits] = canonicalize(s)
+    assert None not in outs.values()
+    classes = {}
+    for bits, smi in outs.items():
+        classes.setdefault(smi, []).append(bits)
+    assert len(classes) == 4, sorted(classes)
+    assert sorted(len(v) for v in classes.values()) == [2, 2, 2, 2]
+    # the two meso classes keep a pseudo-asymmetric mark count of 3; the
+    # enantiomer pair drops the middle mark (2 marks survive)
+    mark_counts = sorted(smi.count("[C@") for smi in classes)
+    assert mark_counts == [2, 2, 3, 3], mark_counts
+
+
+def test_tetramethylcyclobutane_orbit_count():
+    """1,2,3,4-tetramethylcyclobutane: 16 mark patterns -> exactly 4
+    diastereomers (all-cis; cis-cis-trans; trans-trans (1,3); cis-trans
+    alternating) — Burnside over C4 + edge/vertex C2 flips gives
+    (16+2+4+2 + 4+4 + 0+0)/8 = 4, all achiral."""
+    outs = {}
+    for bits in _mark_patterns(4):
+        s = (
+            "C[C" + bits[0] + "H]1"
+            + "".join("[C" + m + "H](C)" for m in bits[1:3])
+            + "[C" + bits[3] + "H]1C"
+        )
+        outs[bits] = canonicalize(s)
+    assert None not in outs.values()
+    classes = {}
+    for bits, smi in outs.items():
+        classes.setdefault(smi, []).append(bits)
+    assert len(classes) == 4, sorted((len(v), k) for k, v in classes.items())
+    assert sorted(len(v) for v in classes.values()) == [2, 2, 4, 8]
+
+
 def test_rendering_idempotence_fuzz_120k():
     """Scaled canonical-idempotence fuzz (VERDICT r3 item 6): 120k random
     renderings across the whole pinned corpus; every rendering must
