@@ -698,6 +698,113 @@ bool perceive_bond_stereo(Mol* mol) {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// Axial (allene) stereo.
+//
+// An even-length cumulated system C=C=C holds its two terminal substituent
+// planes perpendicular: with distinguishable substituents on both termini
+// the molecule is axially chiral (RDKit's new stereo perception calls this
+// ST_Atom_Allene; reference canonicalization flows through RDKit in
+// utils.py:22-41). The accepted and emitted notation is OpenSMILES extended
+// tetrahedral: @/@@ on the central sp carbon (NC(Br)=[C@]=C(O)C). The
+// parity convention mirrors the engine's tetrahedral one: the descriptor is
+// read against the HEAVY substituents of the two termini in written order
+// (first-written terminal's substituents first); implicit hydrogens never
+// enter the permutation. perceive_axial_stereo normalizes the parsed mark
+// to the sorted-by-atom-index reference order; the writer re-derives the
+// emitted mark from that reference, so the sorted intermediate cancels and
+// the emitted mark depends only on written-vs-emitted substituent order.
+// Directional-bond marks across an allene (C/C=C=C/C) are not valid allene
+// stereo in OpenSMILES and are cleared by perceive_bond_stereo like any
+// unconsumed mark; longer even cumulenes and heterocumulene termini are out
+// of scope and their central marks are cleared by the stereo cleaner.
+
+// Permutation parity between two orderings of the same distinct tokens
+// (shared by the tetrahedral writer path and the axial normalization).
+int permutation_parity(const std::vector<int>& from, const std::vector<int>& to) {
+  std::vector<int> perm;
+  for (int t : to) {
+    auto it = std::find(from.begin(), from.end(), t);
+    perm.push_back(static_cast<int>(it - from.begin()));
+  }
+  int parity = 0;
+  std::vector<int> p = perm;
+  for (size_t i = 0; i < p.size(); ++i) {
+    while (p[i] != static_cast<int>(i)) {
+      std::swap(p[i], p[p[i]]);
+      parity ^= 1;
+    }
+  }
+  return parity;
+}
+
+// Constitution test: is x the center of a supported allene stereo unit
+// (neutral sp carbon, two double bonds to distinct non-cumulated neutral
+// carbon termini, each with exactly two substituent slots)?
+bool axial_termini(const Mol& mol, int x, int* ta, int* tb) {
+  const Atom& a = mol.atoms[x];
+  if (a.z != 6 || a.aromatic || a.charge != 0 || a.n_h != 0) return false;
+  if (a.bonds.size() != 2) return false;
+  const Bond& b0 = mol.bonds[a.bonds[0]];
+  const Bond& b1 = mol.bonds[a.bonds[1]];
+  if (b0.order != BOND_DOUBLE || b1.order != BOND_DOUBLE) return false;
+  const int t0 = b0.other(x), t1 = b1.other(x);
+  if (t0 == t1) return false;
+  for (int t : {t0, t1}) {
+    const Atom& term = mol.atoms[t];
+    if (term.z != 6 || term.aromatic || term.charge != 0) return false;
+    int n_double = 0;
+    for (int bidx : term.bonds) {
+      const BondOrder o = mol.bonds[bidx].order;
+      if (o == BOND_DOUBLE) ++n_double;
+      if (o == BOND_TRIPLE || o == BOND_AROMATIC) return false;
+    }
+    if (n_double != 1) return false;  // further cumulation: unsupported
+    if (static_cast<int>(term.bonds.size()) - 1 + term.n_h != 2) return false;
+  }
+  *ta = t0;
+  *tb = t1;
+  return true;
+}
+
+// Substituents of allene terminal t (excluding the center x) in the order
+// they were written around t, heavy atoms first, then implicit hydrogens as
+// virtual tokens -(2t+2), -(2t+3). The fixed H-last slot makes the parity
+// independent of where a rendering textually places the hydrogen — the same
+// convention class as the tetrahedral writer's heavy-only permutation (both
+// deviate from spec only in which enantiomer LABEL an external rendering
+// maps to, never in distinctness or self-consistency).
+std::vector<int> axial_subs(const Mol& mol, int x, int t) {
+  std::vector<int> out;
+  for (int bidx : mol.atoms[t].bonds) {
+    const int v = mol.bonds[bidx].other(t);
+    if (v != x) out.push_back(v);
+  }
+  for (int h = 0; h < mol.atoms[t].n_h; ++h) out.push_back(-(2 * t + 2 + h));
+  return out;
+}
+
+// Normalize parsed axial marks to the sorted-substituent reference order.
+// Marks on 2-coordinate atoms that are NOT supported axial centers are left
+// for drop_uninformative_stereo to clear.
+void perceive_axial_stereo(Mol* mol) {
+  for (size_t x = 0; x < mol->atoms.size(); ++x) {
+    Atom& a = mol->atoms[x];
+    if (a.chirality == CHI_NONE || a.bonds.size() != 2) continue;
+    int ta = -1, tb = -1;
+    if (!axial_termini(*mol, static_cast<int>(x), &ta, &tb)) continue;
+    std::vector<int> written = axial_subs(*mol, static_cast<int>(x), ta);
+    for (int v : axial_subs(*mol, static_cast<int>(x), tb)) {
+      written.push_back(v);
+    }
+    std::vector<int> ref = written;
+    std::sort(ref.begin(), ref.end());
+    if (permutation_parity(written, ref)) {
+      a.chirality = (a.chirality == CHI_CW) ? CHI_CCW : CHI_CW;
+    }
+  }
+}
+
 // Resolve implicit hydrogens & validate valences. Returns false on invalid.
 // Fold explicit neutral hydrogens into their heavy neighbor's implicit
 // count (RDKit MolFromSmiles removeHs parity): without this, C([H])O and
@@ -892,6 +999,7 @@ bool sanitize(Mol* mol) {
 
   if (!kekulize_check(*mol)) return false;
   if (!perceive_bond_stereo(mol)) return false;
+  perceive_axial_stereo(mol);
   return true;
 }
 
@@ -1095,7 +1203,32 @@ const char* dir_symbol(const WriteCtx& ctx, int bidx, int from) {
   return eff > 0 ? "/" : "\\";
 }
 
-std::string atom_token(const Mol& mol, int idx, const std::vector<int>& out_neighbor_order);
+std::string atom_token(const Mol& mol, int idx,
+                       const std::vector<int>& out_neighbor_order,
+                       const WriteCtx* ctx);
+
+// Heavy substituents of allene terminal t (excluding the center x) in
+// EMITTED order: parent, ring closures, children — the order they appear
+// around t in the output string, which is the order the parser records on
+// re-read (ring-closure placeholders keep the digit's slot).
+std::vector<int> axial_emitted_subs(const WriteCtx& ctx, int x, int t) {
+  const Mol& mol = *ctx.mol;
+  const AtomPlan& plan = ctx.plan[t];
+  std::vector<int> out;
+  if (plan.parent_bond >= 0) {
+    const int v = mol.bonds[plan.parent_bond].other(t);
+    if (v != x) out.push_back(v);
+  }
+  for (const auto& cl : plan.closures) {
+    const int v = mol.bonds[cl.first].other(t);
+    if (v != x) out.push_back(v);
+  }
+  for (const auto& ch : plan.children) {
+    if (ch.second != x) out.push_back(ch.second);
+  }
+  for (int h = 0; h < mol.atoms[t].n_h; ++h) out.push_back(-(2 * t + 2 + h));
+  return out;
+}
 
 const char* bond_symbol(const Mol& mol, const Bond& b) {
   switch (b.order) {
@@ -1158,7 +1291,7 @@ void emit_atom(const WriteCtx& ctx, int atom_idx, std::string* out) {
   for (const auto& cl : plan.closures) emit_order.push_back(mol.bonds[cl.first].other(atom_idx));
   for (const auto& ch : plan.children) emit_order.push_back(ch.second);
 
-  *out += atom_token(mol, atom_idx, emit_order);
+  *out += atom_token(mol, atom_idx, emit_order, &ctx);
 
   for (const auto& cl : plan.closures) {
     // Matching bond symbols on both closure sides are legal SMILES.
@@ -1197,25 +1330,8 @@ std::string write_fragment(const Mol& mol, const std::vector<int>& ranks, int ro
   return out;
 }
 
-// Permutation parity between written neighbor order and emitted order.
-int permutation_parity(const std::vector<int>& from, const std::vector<int>& to) {
-  std::vector<int> perm;
-  for (int t : to) {
-    auto it = std::find(from.begin(), from.end(), t);
-    perm.push_back(static_cast<int>(it - from.begin()));
-  }
-  int parity = 0;
-  std::vector<int> p = perm;
-  for (size_t i = 0; i < p.size(); ++i) {
-    while (p[i] != static_cast<int>(i)) {
-      std::swap(p[i], p[p[i]]);
-      parity ^= 1;
-    }
-  }
-  return parity;
-}
-
-std::string atom_token(const Mol& mol, int idx, const std::vector<int>& emit_order) {
+std::string atom_token(const Mol& mol, int idx, const std::vector<int>& emit_order,
+                       const WriteCtx* ctx) {
   const Atom& atom = mol.atoms[idx];
   std::string sym = number_to_symbol(atom.z);
   if (atom.z == 0) sym = "*";
@@ -1256,13 +1372,31 @@ std::string atom_token(const Mol& mol, int idx, const std::vector<int>& emit_ord
   if (atom.isotope) token += std::to_string(atom.isotope);
   token += elem;
   if (atom.chirality != CHI_NONE) {
-    // Adjust parity: written order vs emitted order.
-    std::vector<int> written_order;
-    for (int bidx : atom.bonds) written_order.push_back(mol.bonds[bidx].other(idx));
     Chirality chi = atom.chirality;
-    if (written_order.size() == emit_order.size() && written_order.size() >= 3) {
-      int parity = permutation_parity(written_order, emit_order);
-      if (parity) chi = (chi == CHI_CW) ? CHI_CCW : CHI_CW;
+    int ta = -1, tb = -1;
+    if (atom.bonds.size() == 2 && ctx != nullptr &&
+        axial_termini(mol, idx, &ta, &tb)) {
+      // Axial (allene) mark: parity from the normalized sorted reference
+      // (perceive_axial_stereo) to the emitted substituent order of the two
+      // termini, first-emitted terminal's substituents first — exactly what
+      // the parser records on re-read.
+      std::vector<int> emitted;
+      for (int t : emit_order) {
+        for (int v : axial_emitted_subs(*ctx, idx, t)) emitted.push_back(v);
+      }
+      std::vector<int> ref = emitted;
+      std::sort(ref.begin(), ref.end());
+      if (permutation_parity(ref, emitted)) {
+        chi = (chi == CHI_CW) ? CHI_CCW : CHI_CW;
+      }
+    } else {
+      // Tetrahedral: adjust parity, written order vs emitted order.
+      std::vector<int> written_order;
+      for (int bidx : atom.bonds) written_order.push_back(mol.bonds[bidx].other(idx));
+      if (written_order.size() == emit_order.size() && written_order.size() >= 3) {
+        int parity = permutation_parity(written_order, emit_order);
+        if (parity) chi = (chi == CHI_CW) ? CHI_CCW : CHI_CW;
+      }
     }
     token += (chi == CHI_CW) ? "@@" : "@";
   }
@@ -1436,8 +1570,23 @@ void drop_uninformative_stereo(Mol* mol) {
   // pyramidal X-H stereo ([P@H](CC)C), which was never canonicalized
   // consistently here anyway. Two implicit hydrogens are likewise never
   // stereogenic.
-  for (auto& a : mol->atoms) {
+  std::vector<char> axial(mol->atoms.size(), 0);
+  for (size_t i = 0; i < mol->atoms.size(); ++i) {
+    Atom& a = mol->atoms[i];
     if (a.chirality == CHI_NONE) continue;
+    int ta = -1, tb = -1;
+    if (a.bonds.size() == 2 &&
+        axial_termini(*mol, static_cast<int>(i), &ta, &tb)) {
+      // A =CH2 terminal carries two identical hydrogens: never stereogenic.
+      // Cleared here because the inversion test below cannot absorb an H-H
+      // swap (branch-and-min only permutes heavy emission order).
+      if (mol->atoms[ta].n_h >= 2 || mol->atoms[tb].n_h >= 2) {
+        a.chirality = CHI_NONE;
+        continue;
+      }
+      axial[i] = 1;  // supported allene center: kept, suspect-tested below
+      continue;
+    }
     if (a.n_h >= 2 || a.bonds.size() < 3) a.chirality = CHI_NONE;
   }
 
@@ -1447,14 +1596,32 @@ void drop_uninformative_stereo(Mol* mol) {
   for (size_t i = 0; i < mol->atoms.size(); ++i) {
     const Atom& a = mol->atoms[i];
     if (a.chirality == CHI_NONE) continue;
-    bool tied = a.n_h >= 2;  // two identical implicit-H substituents
-    std::vector<int> nb;
-    for (int bidx : a.bonds) {
-      nb.push_back(ranks[mol->bonds[bidx].other(static_cast<int>(i))]);
-    }
-    std::sort(nb.begin(), nb.end());
-    for (size_t j = 1; j < nb.size() && !tied; ++j) {
-      tied |= (nb[j] == nb[j - 1]);
+    bool tied = false;
+    if (axial[i]) {
+      // Allene mark is suspect when EITHER terminal's two substituent
+      // slots tie (two implicit H, or two heavy neighbors in one WL class).
+      int ta = -1, tb = -1;
+      axial_termini(*mol, static_cast<int>(i), &ta, &tb);
+      for (int t : {ta, tb}) {
+        const Atom& term = mol->atoms[t];
+        tied |= (term.n_h >= 2);
+        std::vector<int> subs;
+        for (int bidx : term.bonds) {
+          const int v = mol->bonds[bidx].other(t);
+          if (v != static_cast<int>(i)) subs.push_back(ranks[v]);
+        }
+        tied |= (subs.size() == 2 && subs[0] == subs[1]);
+      }
+    } else {
+      tied = a.n_h >= 2;  // two identical implicit-H substituents
+      std::vector<int> nb;
+      for (int bidx : a.bonds) {
+        nb.push_back(ranks[mol->bonds[bidx].other(static_cast<int>(i))]);
+      }
+      std::sort(nb.begin(), nb.end());
+      for (size_t j = 1; j < nb.size() && !tied; ++j) {
+        tied |= (nb[j] == nb[j - 1]);
+      }
     }
     if (tied) suspect_atoms.push_back(static_cast<int>(i));
   }

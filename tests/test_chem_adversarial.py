@@ -485,6 +485,70 @@ def test_multifragment_salt_order_invariance_with_isotopes():
 
 
 # ---------------------------------------------------------------------------
+# Axial (allene) stereo (driver-round 4): an even cumulated system holds its
+# terminal substituent planes perpendicular — with distinguishable termini
+# substituents the molecule is axially chiral. Round-3 engines dropped the
+# mark, collapsing enantiomer pairs (a Top-N inflation bug); the engine now
+# models OpenSMILES extended-tetrahedral @/@@ on the central sp carbon
+# (csrc/chem/chem.cpp perceive_axial_stereo). Reference behavior being
+# matched: RDKit stereo perception as consumed by utils.py:22-41.
+
+ALLENE_GOLDENS = [
+    ("penta23diene_P", "CC=[C@]=CC", "CC=[C@]=CC"),
+    ("penta23diene_M", "CC=[C@@]=CC", "CC=[C@@]=CC"),
+    ("tetrasub_P", "CC(=[C@]=C(C)F)O", "CC(=[C@]=C(C)F)O"),
+    ("tetrasub_M", "CC(=[C@@]=C(C)F)O", "CC(=[C@@]=C(C)F)O"),
+    ("cyclohexa12diene_P", "C1CCC=[C@]=C1", "[C@]=1=CCCCC=1"),
+    ("cyclohexa12diene_M", "C1CCC=[C@@]=C1", "[C@@]=1=CCCCC=1"),
+]
+
+
+@pytest.mark.parametrize("name,smiles,expected", ALLENE_GOLDENS,
+                         ids=[g[0] for g in ALLENE_GOLDENS])
+def test_allene_pinned_golden(name, smiles, expected):
+    out = canonicalize(smiles)
+    assert out == expected, out
+    assert canonicalize(out) == out  # idempotent
+    forms = {canonicalize(r) for r in random_smiles(smiles, 40, seed=7)}
+    assert forms == {expected}, forms
+
+
+def test_allene_enantiomers_and_flat_distinct():
+    trio = {canonicalize("CC=[C@]=CC"), canonicalize("CC=[C@@]=CC"),
+            canonicalize("CC=C=CC")}
+    assert len(trio) == 3
+    # combined with E/Z stereo elsewhere in the molecule
+    assert canonicalize("F/C=C/C(=[C@]=CF)C") != canonicalize(
+        "F/C=C/C(=[C@@]=CF)C")
+
+
+ALLENE_SPURIOUS = [
+    # one terminal carries two identical substituents -> not stereogenic
+    ("tied_terminal", "CC=[C@]=C(C)C", "CC(=C=CC)C"),
+    ("ch2_terminal", "C=[C@]=CC", "C=C=CC"),
+    # heterocumulene termini / longer even cumulenes: out of scope, cleared
+    ("ketene_like", "O=[C@]=CC", "CC=C=O"),
+    ("pentatetraene", "CC=C=[C@]=C=CC", "CC=C=C=C=CC"),
+]
+
+
+@pytest.mark.parametrize("name,marked,plain", ALLENE_SPURIOUS,
+                         ids=[s[0] for s in ALLENE_SPURIOUS])
+def test_allene_spurious_or_unsupported_dropped(name, marked, plain):
+    out = canonicalize(marked)
+    assert out == plain, out
+    assert "@" not in out
+
+
+def test_allene_directional_marks_not_misread():
+    """Directional-bond marks across an allene are not valid OpenSMILES
+    allene stereo: they must clear (flat form), never crash, and never
+    produce a string distinct from the unmarked rendering."""
+    assert canonicalize("C/C=C=C/C") == canonicalize("CC=C=CC")
+    assert canonicalize("C/C=C=C\\C") == canonicalize("CC=C=CC")
+
+
+# ---------------------------------------------------------------------------
 # Orbit-count tests (driver-round 4). Stronger than example pairs: enumerate
 # EVERY full stereo-mark pattern of a symmetric skeleton and assert the number
 # of distinct canonical strings equals the number of distinct stereoisomers
