@@ -1544,11 +1544,51 @@ std::string mol_to_canonical(const Mol& mol) {
 // cis-1,4-dimethylcyclohexane yields the trans diastereomer (a different
 // string), so genuine marks survive. Runs to a fixpoint since a removal
 // can render another mark spurious.
+// Atom count of the smallest ring containing bond `bi` (0 if acyclic):
+// BFS shortest path between the endpoints avoiding the bond itself.
+int min_ring_size_through_bond(const Mol& mol, int bi) {
+  const Bond& bond = mol.bonds[bi];
+  std::vector<int> dist(mol.atoms.size(), -1);
+  std::vector<int> queue;
+  queue.push_back(bond.a);
+  dist[bond.a] = 0;
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    const int u = queue[qi];
+    if (u == bond.b) return dist[u] + 1;
+    for (int nb : mol.atoms[u].bonds) {
+      if (nb == bi || nb < 0) continue;
+      const int v = mol.bonds[nb].other(u);
+      if (dist[v] != -1) continue;
+      dist[v] = dist[u] + 1;
+      queue.push_back(v);
+    }
+  }
+  return 0;
+}
+
 void drop_uninformative_stereo(Mol* mol) {
   bool any = false;
   for (const auto& a : mol->atoms) any |= (a.chirality != CHI_NONE);
   for (const auto& b : mol->bonds) any |= (b.stereo != 0);
   if (!any) return;
+
+  // RDKit parity: a double bond whose SMALLEST containing ring has fewer
+  // than 8 atoms is never stereogenic (minBondRingSize < 8 in
+  // AssignStereochemistry(cleanIt=True) — cis is the only realizable
+  // geometry), so a written mark is redundant and must not bifurcate the
+  // molecule's canonical form (C1/C=C\CCC1 == C1=CCCCC1). The inversion
+  // test below cannot catch this class: flipping the mark yields a
+  // *different* string (the impossible trans form), so the rule must be
+  // explicit. Cyclooctene and larger keep genuine E/Z (ez_in_ring golden).
+  for (auto& b : mol->bonds) {
+    if (b.stereo == 0) continue;
+    const int bi = static_cast<int>(&b - mol->bonds.data());
+    const int sz = min_ring_size_through_bond(*mol, bi);
+    if (sz > 0 && sz < 8) {
+      b.stereo = 0;
+      b.stereo_ref_a = b.stereo_ref_b = -1;
+    }
+  }
 
   // Cheap pre-filter: a mark is only SUSPECT when two of its
   // distinguishing substituents share a stereo-blind WL symmetry class

@@ -666,3 +666,119 @@ def test_rendering_idempotence_fuzz_120k():
             assert canonicalize(r) == base, (name, r)
             total += 1
     assert total >= 100_000, total
+
+
+# ---------------------------------------------------------------------------
+# Driver-round-4 continuation corpus growth: ring-size-gated double-bond
+# stereo (RDKit minBondRingSize-8 parity) and conjugated-polyene orbit
+# counts (shared directional marks constrain adjacent double bonds — the
+# classic canonicalization trap).
+
+SMALL_RING_REDUNDANT_EZ = [
+    # (name, marked, plain) — rings < 8 can only be cis, so the written
+    # mark carries no information and must collapse onto the plain form
+    # (RDKit AssignStereochemistry(cleanIt=True): minBondRingSize < 8).
+    ("cyclopentene", "C1/C=C\\CC1", "C1C=CCC1"),
+    ("cyclohexene", "C1/C=C\\CCC1", "C1C=CCCC1"),
+    ("cyclohexene_trans_mark", "C1/C=C/CCC1", "C1C=CCCC1"),
+    ("cycloheptene", "C1/C=C/CCCC1", "C1C=CCCCC1"),
+    ("methylcyclohexene", "CC1=C(/CCCC1)C", "CC1=C(C)CCCC1"),
+]
+
+
+@pytest.mark.parametrize("name,marked,plain", SMALL_RING_REDUNDANT_EZ)
+def test_small_ring_ez_marks_collapse(name, marked, plain):
+    m, p = canonicalize(marked), canonicalize(plain)
+    assert m is not None and m == p, (name, m, p)
+    for r in random_smiles(marked, 20):
+        assert canonicalize(r) == p, (name, r)
+
+
+def test_ring_size_eight_boundary_keeps_ez():
+    """Cyclooctene is the smallest ring with realizable trans geometry:
+    E, Z and unspecified must stay three distinct strings."""
+    e = canonicalize("C/1=C\\CCCCCC\\1")
+    z = canonicalize("C1/C=C\\CCCCC1")
+    plain = canonicalize("C1C=CCCCCC1")
+    assert len({e, z, plain}) == 3
+    for r in random_smiles("C1/C=C\\CCCCC1", 25):
+        assert canonicalize(r) == z, r
+
+
+def test_small_ring_rule_uses_smallest_ring_through_bond():
+    """A stereo double bond in a macrocycle stays stereogenic even when a
+    SMALL ring elsewhere shares atoms of the macrocycle; and a double bond
+    whose own smallest ring is small loses its mark even inside a fused
+    macrocycle."""
+    # C2=C3 double bond: smallest ring through it is the 9-ring (the fused
+    # 5-ring hangs off C3..C7 but does not contain the double bond).
+    kept = canonicalize("C1/C=C2\\CCCC2CCCCC1")
+    assert kept.count("/") + kept.count("\\") > 0, kept
+    # Same macrocycle but the double bond inside the 5-ring: mark dropped.
+    dropped = canonicalize("C1C/C2=C(\\CCC2)CCCCCC1")
+    plain = canonicalize("C1CC2=C(CCC2)CCCCCC1")
+    assert dropped == plain, (dropped, plain)
+
+
+def test_hexadiene_orbit_count_is_four():
+    """Hexa-2,4-diene: (E,E), (Z,Z), (E,Z)==(Z,E) by end-to-end symmetry,
+    plus unspecified -> exactly 4 canonical strings from 7 renderings."""
+    forms = {
+        "EE": "C/C=C/C=C/C",
+        "EE_flipped": "C\\C=C\\C=C\\C",  # global mark flip: same molecule
+        "ZZ": "C/C=C\\C=C/C",
+        "ZZ_flipped": "C\\C=C/C=C\\C",
+        "EZ": "C/C=C/C=C\\C",
+        "ZE": "C/C=C\\C=C\\C",
+        "plain": "CC=CC=CC",
+    }
+    out = {k: canonicalize(v) for k, v in forms.items()}
+    assert None not in out.values()
+    assert out["EE"] == out["EE_flipped"]
+    assert out["ZZ"] == out["ZZ_flipped"]
+    assert out["EZ"] == out["ZE"]  # same molecule read backwards
+    assert len(set(out.values())) == 4, out
+
+
+def test_cyclooctadiene_orbit_count_is_four():
+    """1,5-cyclooctadiene (8-ring: E/Z realizable): the C2 ring symmetry
+    makes (E,Z) == (Z,E); (E,E), (Z,Z) and unspecified stay distinct.
+    Labels hand-derived from OpenSMILES ring-closure mark semantics."""
+    ez = canonicalize("C/1=C\\CC/C=C\\CC1")  # bond1 E, bond2 Z
+    ze = canonicalize("C/1=C/CC/C=C/CC1")   # bond1 Z, bond2 E
+    zz = canonicalize("C/1=C/CC/C=C\\CC1")
+    ee = canonicalize("C/1=C\\CC/C=C/CC1")
+    plain = canonicalize("C1=CCCC=CCC1")
+    assert ez == ze, (ez, ze)
+    assert len({ez, zz, ee, plain}) == 4, (ez, zz, ee, plain)
+    for r in random_smiles("C/1=C\\CC/C=C\\CC1", 25):
+        assert canonicalize(r) == ez, r
+
+
+def test_polyene_shared_marks_and_terminal_ch2():
+    """Conjugated chains: one written mark constrains two double bonds, and
+    terminal =CH2 bonds are never stereogenic, so a mark adjacent to one
+    only encodes the INTERNAL bond's geometry."""
+    # (2E)-penta-1,3-diene written forward and reversed must collide.
+    fwd = canonicalize("C=C/C=C/C")
+    rev = canonicalize("C/C=C/C=C")
+    plain = canonicalize("C=CC=CC")
+    z = canonicalize("C=C/C=C\\C")
+    assert fwd == rev
+    assert len({fwd, z, plain}) == 3
+    # octa-2,4,6-triene: all-E vs 4Z distinct; renderings collapse.
+    eee = canonicalize("C/C=C/C=C/C=C/C")
+    eze = canonicalize("C/C=C/C=C\\C=C\\C")
+    assert eee != eze
+    for s, c in (("C/C=C/C=C/C=C/C", eee), ("C/C=C/C=C\\C=C\\C", eze)):
+        for r in random_smiles(s, 25):
+            assert canonicalize(r) == c, (s, r)
+
+
+def test_stilbene_aromatic_adjacent_ez():
+    e = canonicalize("c1ccccc1/C=C/c1ccccc1")
+    z = canonicalize("c1ccccc1/C=C\\c1ccccc1")
+    plain = canonicalize("c1ccccc1C=Cc1ccccc1")
+    assert len({e, z, plain}) == 3
+    for r in random_smiles("c1ccccc1/C=C/c1ccccc1", 25):
+        assert canonicalize(r) == e, r
