@@ -1627,7 +1627,32 @@ void drop_uninformative_stereo(Mol* mol) {
       axial[i] = 1;  // supported allene center: kept, suspect-tested below
       continue;
     }
-    if (a.n_h >= 2 || a.bonds.size() < 3) a.chirality = CHI_NONE;
+    if (a.n_h >= 2 || a.bonds.size() < 3) {
+      a.chirality = CHI_NONE;
+      continue;
+    }
+    // RDKit parity (isAtomPotentialTetrahedralCenter): pyramidal trivalent
+    // N inverts freely and is never a stereocenter unless locked in a
+    // 3-membered ring (aziridine); [N@](C)(CC)CCC == N(C)(CC)CCC. P/As and
+    // 3-coordinate S/Se (sulfoxide, sulfonium) invert slowly and keep
+    // their marks; 4-coordinate N (quaternary, N-oxide) stays stereogenic.
+    if (a.z == 7 && a.bonds.size() == 3 && a.n_h == 0) {
+      bool in_3ring = false;
+      for (size_t x = 0; x < a.bonds.size() && !in_3ring; ++x) {
+        for (size_t y = x + 1; y < a.bonds.size() && !in_3ring; ++y) {
+          if (a.bonds[x] < 0 || a.bonds[y] < 0) continue;
+          const int u = mol->bonds[a.bonds[x]].other(static_cast<int>(i));
+          const int v = mol->bonds[a.bonds[y]].other(static_cast<int>(i));
+          for (int bidx : mol->atoms[u].bonds) {
+            if (bidx >= 0 && mol->bonds[bidx].other(u) == v) {
+              in_3ring = true;
+              break;
+            }
+          }
+        }
+      }
+      if (!in_3ring) a.chirality = CHI_NONE;
+    }
   }
 
   const std::vector<int> ranks = refine_ranks(*mol, initial_keys(*mol));

@@ -782,3 +782,45 @@ def test_stilbene_aromatic_adjacent_ez():
     assert len({e, z, plain}) == 3
     for r in random_smiles("c1ccccc1/C=C/c1ccccc1", 25):
         assert canonicalize(r) == e, r
+
+
+# ---------------------------------------------------------------------------
+# Pyramidal heteroatom stereocenters: RDKit's isAtomPotentialTetrahedralCenter
+# policy — trivalent N inverts freely (marks drop) unless locked in a
+# 3-membered ring; P/As and 3-coordinate S (sulfoxide, sulfonium) invert
+# slowly (marks keep); 4-coordinate N (quaternary, N-oxide) is a full
+# tetrahedral center.
+
+def test_acyclic_trivalent_amine_marks_drop():
+    a = canonicalize("[N@](C)(CC)CCC")
+    b = canonicalize("[N@@](C)(CC)CCC")
+    plain = canonicalize("N(C)(CC)CCC")
+    assert a == b == plain, (a, b, plain)
+    for r in random_smiles("[N@](C)(CC)CCC", 20):
+        assert canonicalize(r) == plain, r
+
+
+def test_azetidine_n_marks_drop_aziridine_keep():
+    # 4-ring N still inverts: marks drop.
+    assert canonicalize("CC1CC[N@]1CC") == canonicalize("CC1CCN1CC")
+    # 3-ring (aziridine) locks inversion: @/@@/plain stay 3 distinct strings.
+    az_a = canonicalize("CC1C[N@]1CC")
+    az_b = canonicalize("CC1C[N@@]1CC")
+    az_p = canonicalize("CC1CN1CC")
+    assert len({az_a, az_b, az_p}) == 3, (az_a, az_b, az_p)
+    for r in random_smiles("CC1C[N@]1CC", 20):
+        assert canonicalize(r) == az_a, r
+
+
+@pytest.mark.parametrize("name,a,b", [
+    ("phosphine", "[P@](C)(CC)CCC", "[P@@](C)(CC)CCC"),
+    ("sulfonium", "[S@+](C)(CC)CCC", "[S@@+](C)(CC)CCC"),
+    ("quaternary_n", "[N@+](C)(CC)(CCC)CCCC", "[N@@+](C)(CC)(CCC)CCCC"),
+    ("n_oxide", "C[N@+]([O-])(CC)CCC", "C[N@@+]([O-])(CC)CCC"),
+    ("silicon", "[Si@](C)(F)(Cl)Br", "[Si@@](C)(F)(Cl)Br"),
+])
+def test_slow_inverting_heteroatom_stereo_survives(name, a, b):
+    ca, cb = canonicalize(a), canonicalize(b)
+    assert ca is not None and cb is not None and ca != cb, (name, ca, cb)
+    for r in random_smiles(a, 15):
+        assert canonicalize(r) == ca, (name, r)
