@@ -824,3 +824,33 @@ def test_slow_inverting_heteroatom_stereo_survives(name, a, b):
     assert ca is not None and cb is not None and ca != cb, (name, ca, cb)
     for r in random_smiles(a, 15):
         assert canonicalize(r) == ca, (name, r)
+
+
+# ---------------------------------------------------------------------------
+# Heteroatom double-bond stereo (C=N imine/oxime, N=N azo: the lone pair
+# acts as the second substituent, RDKit keeps E/Z) and exocyclic C=C.
+
+@pytest.mark.parametrize("name,e,z,plain", [
+    ("oxime", "C/C=N/O", "C/C=N\\O", "CC=NO"),
+    ("imine", "C/C=N/C", "C/C=N\\C", "CC=NC"),
+    ("azo", "C/N=N/C", "C/N=N\\C", "CN=NC"),
+])
+def test_heteroatom_double_bond_ez(name, e, z, plain):
+    ce, cz, cp = canonicalize(e), canonicalize(z), canonicalize(plain)
+    assert len({ce, cz, cp}) == 3, (name, ce, cz, cp)
+    for r in random_smiles(e, 15):
+        assert canonicalize(r) == ce, (name, r)
+
+
+def test_exocyclic_double_bond_stereo():
+    """Exocyclic C=C is NOT a ring bond, so the ring-size rule must not
+    touch it; stereo survives iff the ring arms differ (inversion test)."""
+    # methylenecyclohexane arms are identical: mark uninformative.
+    assert canonicalize("C/C=C1\\CCCCC1") == canonicalize("CC=C1CCCCC1")
+    # a 4-methyl makes the arms distinct: E and Z stay separate.
+    e = canonicalize("C/C=C1\\CCCC(C)C1")
+    z = canonicalize("C/C=C1/CCCC(C)C1")
+    plain = canonicalize("CC=C1CCCC(C)C1")
+    assert len({e, z, plain}) == 3, (e, z, plain)
+    for r in random_smiles("C/C=C1\\CCCC(C)C1", 20):
+        assert canonicalize(r) == e, r
