@@ -165,6 +165,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         metrics_writer=metrics_writer,
         resume=resume,
         profile_dir=config.get("profile_dir"),
+        max_steps=config["trainer"].get("max_steps"),
     )
 
     # Reload best checkpoint for final evaluation (reference

@@ -401,11 +401,23 @@ class Trainer:
         metrics_writer=None,
         resume: bool = False,
         profile_dir: Optional[str] = None,
+        max_steps: Optional[int] = None,
     ) -> TrainState:
         """Epoch loop with per-epoch (or per-``val_check_interval`` steps)
         validation, checkpointing, early stopping, optional resume from the
         ``last`` checkpoint (full optimizer state) and optional
-        ``jax.profiler`` traces of the first steps."""
+        ``jax.profiler`` traces of the first steps.
+
+        ``max_steps`` bounds the GLOBAL optimizer-step count (Lightning
+        ``Trainer(max_steps=...)`` semantics, reference trainer.py builds the
+        Lightning Trainer which supports it implicitly). Combined with
+        ``resume`` this gives schedule-correct continuation of an interrupted
+        run: relaunch with the ORIGINAL data budget (so the OneCycle horizon
+        matches the restored optimizer count) and ``max_steps`` at the
+        original total so the continuation stops where the first run would
+        have. A final validation runs at the bound so ``best`` reflects the
+        terminal state even when the bound is not a ``val_check_interval``
+        multiple."""
         eval_step = self._build_eval_step()
         best_monitor = -float("inf")
         patience_left = early_stopping_patience
@@ -433,8 +445,13 @@ class Trainer:
             except FileNotFoundError:
                 logger.info("No checkpoint to resume from; starting fresh")
 
-        stop = False
+        stop = max_steps is not None and global_step >= max_steps
+        if stop:
+            logger.info("Resumed at or past max_steps=%d; nothing to train",
+                        max_steps)
         for epoch in range(start_epoch, epochs):
+            if stop:
+                break
             epoch_start = time.time()
             n_samples = 0
             for batch in train_loader:
@@ -471,11 +488,12 @@ class Trainer:
                                     metrics)
                 global_step += 1
 
-                if (
+                validated_here = (
                     val_check_interval
                     and val_loader is not None
                     and global_step % val_check_interval == 0
-                ):
+                )
+                if validated_here:
                     self._drain_logs()
                     stop, best_monitor, patience_left = self._run_validation(
                         state, val_loader, eval_step, limit_val_batches,
@@ -484,6 +502,19 @@ class Trainer:
                     )
                     if stop:
                         break
+
+                if max_steps is not None and global_step >= max_steps:
+                    if val_loader is not None and not validated_here:
+                        self._drain_logs()
+                        _, best_monitor, patience_left = self._run_validation(
+                            state, val_loader, eval_step, limit_val_batches,
+                            checkpoints, metrics_writer, epoch, global_step,
+                            early_stopping_patience, best_monitor,
+                            patience_left,
+                        )
+                    logger.info("Reached max_steps=%d; stopping", max_steps)
+                    stop = True
+                    break
 
             elapsed = time.time() - epoch_start
             logger.info(

@@ -89,6 +89,28 @@ def test_fit_checkpoints_and_restore(setup, tmp_path):
     assert int(state2.step) >= int(state.step)
 
 
+def test_fit_max_steps_bounds_global_step(setup, tmp_path):
+    """max_steps stops mid-epoch, runs a terminal validation so ``best``
+    reflects the final state, and a resume at/past the bound is a no-op."""
+    table, config, preps, collator, model = setup
+    loader = DataLoader(table, collator, batch_size=8, shuffle=True, prefetch=0)
+    trainer = Trainer(model, preps["Smiles"], num_steps=8, lr=1e-3, seed=0)
+    state = trainer.init_state(next(iter(loader)))
+    ckpts = CheckpointManager(tmp_path / "ckpt")
+
+    # 2 batches/epoch; epochs=4 would be 8 steps — the bound wins at 3.
+    state = trainer.fit(state, loader, loader, epochs=4, checkpoints=ckpts,
+                        max_steps=3)
+    assert int(state.step) == 3
+    assert (tmp_path / "ckpt" / "best").exists()  # terminal validation ran
+
+    # Resuming at the bound trains zero additional steps.
+    state2 = trainer.init_state(next(iter(loader)))
+    state2 = trainer.fit(state2, loader, None, epochs=4, checkpoints=ckpts,
+                         resume=True, max_steps=3)
+    assert int(state2.step) == 3
+
+
 def test_predict_returns_beams(setup):
     table, config, preps, collator, model = setup
     loader = DataLoader(table, collator, batch_size=8, prefetch=0)
