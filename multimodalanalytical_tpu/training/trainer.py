@@ -229,6 +229,9 @@ class Trainer:
         self.checkpoint_wait_timeout_s = float(checkpoint_wait_timeout_s)
         self._val_count = 0
         self._last_improvement_save = -10**9
+        # Step whose full state was last persisted (``last`` freshness
+        # tracking for the max_steps terminal save, ADVICE r4).
+        self._saved_state_step = -1
         # (step, device-snapshot tree, metrics) of an improvement whose save
         # was rate-suppressed; flushed by the next due save / end of fit.
         self._pending_best = None
@@ -408,9 +411,12 @@ class Trainer:
         ``last`` checkpoint (full optimizer state) and optional
         ``jax.profiler`` traces of the first steps.
 
-        ``max_steps`` bounds the GLOBAL optimizer-step count (Lightning
-        ``Trainer(max_steps=...)`` semantics, reference trainer.py builds the
-        Lightning Trainer which supports it implicitly). Combined with
+        ``max_steps`` bounds the GLOBAL optimizer-step count. This is a
+        deliberate EXTENSION beyond reference parity (recorded in
+        docs/index.md): the reference's Lightning build passes only
+        max_epochs and never exposes max_steps; the semantics here follow
+        Lightning ``Trainer(max_steps=...)`` so the knob is unsurprising.
+        Combined with
         ``resume`` this gives schedule-correct continuation of an interrupted
         run: relaunch with the ORIGINAL data budget (so the OneCycle horizon
         matches the restored optimizer count) and ``max_steps`` at the
@@ -510,8 +516,24 @@ class Trainer:
                             state, val_loader, eval_step, limit_val_batches,
                             checkpoints, metrics_writer, epoch, global_step,
                             early_stopping_patience, best_monitor,
-                            patience_left,
+                            patience_left, force_save=True,
                         )
+                    if (checkpoints is not None and is_main()
+                            and self._saved_state_step != global_step):
+                        # Terminal state must be resumable at the bound
+                        # (ADVICE r4): with no val loader, or when the
+                        # interval validation above did not persist `last`
+                        # at this step, save the current state now —
+                        # otherwise a resume restores an older step and
+                        # silently retrains the lost steps.
+                        checkpoints.save_async(
+                            global_step,
+                            {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": global_step},
+                            {},
+                        )
+                        self._saved_state_step = global_step
                     logger.info("Reached max_steps=%d; stopping", max_steps)
                     stop = True
                     break
@@ -540,6 +562,7 @@ class Trainer:
                      "step": global_step},
                     {},
                 )
+                self._saved_state_step = global_step
 
         self._drain_logs()
         if checkpoints is not None:
@@ -623,8 +646,14 @@ class Trainer:
     def _run_validation(
         self, state, val_loader, eval_step, limit_val_batches, checkpoints,
         metrics_writer, epoch, global_step, early_stopping_patience,
-        best_monitor, patience_left,
+        best_monitor, patience_left, force_save=False,
     ):
+        """``force_save=True`` (terminal validation at the ``max_steps``
+        bound): persist the CURRENT state even when the cadence says the
+        save is not due, so ``last`` always lands at the bound and a resume
+        is a no-op (ADVICE r4). A pinned rate-suppressed best is left for
+        the end-of-fit flush rather than consumed here — the forced save
+        must write the terminal state, not an older snapshot."""
         val_metrics = self.validate(state, val_loader, eval_step, limit_val_batches)
         logger.info(
             "epoch %d val_loss %.4f val_token_acc %.4f "
@@ -672,17 +701,18 @@ class Trainer:
             >= self.checkpoint_every_n_vals
         )
         if checkpoints is not None and is_main():
-            if due or improvement_save:
+            if due or improvement_save or force_save:
                 if improvement_save:
                     self._last_improvement_save = self._val_count
                 if improved:
                     # Current state is the best ever seen; any pinned
                     # older best is superseded.
                     self._pending_best = None
-                if self._pending_best is not None:
+                if self._pending_best is not None and not force_save:
                     b_step, b_tree, b_metrics = self._pending_best
                     self._pending_best = None
                     checkpoints.save_async(b_step, b_tree, b_metrics)
+                    self._saved_state_step = b_step
                 else:
                     checkpoints.save_async(
                         global_step,
@@ -691,6 +721,7 @@ class Trainer:
                          "step": global_step},
                         val_metrics,
                     )
+                    self._saved_state_step = global_step
             elif improved:
                 self._pending_best = (
                     global_step,

@@ -169,6 +169,22 @@ def main() -> None:
         out[f"mix_{ratios_name}_target"] = np.asarray(
             [s["IR_target"] for s in samples], dtype=np.float64)
 
+    # mixed=True passthrough branch (binary_real_data_mixed recipe:
+    # reference datasets.py:90-105; normalize False is the shipped config,
+    # True exercises the normalize path of the same branch).
+    for mixed_name, normalize in (("mixed_raw", False), ("mixed_norm", True)):
+        cfg = {"n_compounds": 2, "compounds_ratio": None,
+               "parallel_samples": 16384, "train_max_n_samples": 0,
+               "normalize": normalize, "mixed": True}
+        samples = list(mix_spectra(pool, cfg, "train", seed=11))
+        out[f"mix_{mixed_name}_meta"] = json.dumps(
+            [[s["Smiles"], s["Formula"], s["Additional_smiles"],
+              s["Percentage"]] for s in samples])
+        out[f"mix_{mixed_name}_ir"] = np.asarray(
+            [s["IR"] for s in samples], dtype=np.float64)
+        out[f"mix_{mixed_name}_target"] = np.asarray(
+            [s["IR_target"] for s in samples], dtype=np.float64)
+
     # ---- tokenizer -----------------------------------------------------------
     from analytical_fm.data.tokenizer import build_regex_tokenizer
 

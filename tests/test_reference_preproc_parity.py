@@ -291,6 +291,43 @@ def test_mix_spectra_stream_matches_reference(golden, inputs, ratios_name,
                                    ref_tgt[i], rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.parametrize("mixed_name,normalize", [
+    ("mixed_raw", False), ("mixed_norm", True),
+])
+def test_mix_spectra_mixed_branch_matches_reference(golden, inputs,
+                                                    mixed_name, normalize):
+    """mixed=True passthrough branch (binary_real_data_mixed recipe,
+    reference datasets.py:90-105): pure spectra yield as-is (optionally
+    normalized) with a mock zero IR_target and 'mock' Additional_smiles.
+    The shipped config uses normalize=False with train_max_n_samples=0 and
+    parallel_samples=16384 (which the pre-branch guard zeroes) — pinned
+    verbatim so one wrong yield can't silently corrupt the real-data-mixed
+    recipe (VERDICT r4 weak #5)."""
+    import jax  # noqa: F401  (platform forced by conftest)
+
+    from multimodalanalytical_tpu.data.datasets import (
+        TableDataset, mix_spectra,
+    )
+
+    cfg = {"n_compounds": 2, "compounds_ratio": None,
+           "parallel_samples": 16384, "train_max_n_samples": 0,
+           "normalize": normalize, "mixed": True}
+    table = TableDataset(dict(inputs["mix_pool"]))
+    ours = list(mix_spectra(table, cfg, "train", seed=11))
+    ref_meta = json.loads(str(golden[f"mix_{mixed_name}_meta"]))
+    ref_ir = golden[f"mix_{mixed_name}_ir"]
+    ref_tgt = golden[f"mix_{mixed_name}_target"]
+    assert len(ours) == len(ref_meta) == len(table)
+    for i, sample in enumerate(ours):
+        assert [sample["Smiles"], sample["Formula"],
+                sample["Additional_smiles"], sample["Percentage"]] == ref_meta[i]
+        np.testing.assert_allclose(np.asarray(sample["IR"], np.float64),
+                                   ref_ir[i], rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(
+            np.asarray(sample["IR_target"], np.float64), ref_tgt[i])
+        assert not np.asarray(sample["IR_target"]).any()
+
+
 def test_tokenizer_ids_match_reference(golden, inputs):
     """build_regex_tokenizer parity: same corpus + regex -> same vocab ids
     and the same <bos> x <eos> framed encodings."""
