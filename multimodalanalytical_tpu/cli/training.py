@@ -81,6 +81,27 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     target_modality = collator.target_modality
     logger.info("Built loaders (target modality: %s)", target_modality)
 
+    # Device-side mixture synthesis (data/device_mixture.py): for eligible
+    # streaming-mixture recipes, stage the pure-compound pool in HBM and
+    # stream only sampling decisions — removes the host-bound synthesis/
+    # collate/transfer chain (PROFILE.md round 8). ``device_mixing=False``
+    # keeps the host generator (the parity reference path).
+    batch_transform = None
+    if config.get("mixture") and config.get("device_mixing", True):
+        from ..data.device_mixture import try_build_device_mixture
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        device_mix = try_build_device_mixture(
+            dataset["train"], data_config, preprocessors, collator,
+            batch_size, seed=seed, mesh=mesh,
+        )
+        if device_mix is not None:
+            loaders["train"] = device_mix.loader
+            batch_transform = device_mix.premix
+    else:
+        mesh = None
+
     tokenizer = preprocessors[target_modality]
     model, cfg = build_model(model_config, data_config, target_modality, tokenizer)
 
@@ -91,6 +112,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     )
     trainer = Trainer(
         model, tokenizer,
+        mesh=mesh,
+        batch_transform=batch_transform,
         optimiser=model_config.get("optimiser", "adam"),
         lr=model_config.get("lr", 1e-3),
         weight_decay=model_config.get("weight_decay", 0.0),

@@ -138,7 +138,12 @@ def _device_batch(batch: Dict[str, Any],
     stays float32 (f32 alignment loss).
     """
     keep = {"encoder_inputs", "encoder_mask", "decoder_ids", "decoder_mask",
-            "labels", "align_target"}
+            "labels", "align_target",
+            # Device-mixture index batches (data/device_mixture.py): tiny
+            # int/bool sampling decisions expanded in-graph by the trainer's
+            # batch_transform.
+            "mix_idx", "comp_slot", "mix_weights", "mix_normalize",
+            "row_valid"}
     out = {k: v for k, v in batch.items() if k in keep}
     if compute_dtype != jnp.bfloat16 or "encoder_inputs" not in out:
         return out
@@ -204,7 +209,13 @@ class Trainer:
         monitor: str = "val_molecular_accuracy",
         checkpoint_every_n_vals: int = 1,
         checkpoint_wait_timeout_s: float = 600.0,
+        batch_transform=None,
     ):
+        """``batch_transform``: optional traced function applied to a batch
+        INSIDE the jitted train/eval steps when the batch is an index batch
+        (has "mix_idx"); regular batches pass through untouched. Used by
+        the device-mixture fast path (data/device_mixture.py) to expand
+        host sampling decisions into the full collated batch on-chip."""
         self.model = model
         self.tokenizer = target_tokenizer
         lr = float(lr)
@@ -244,12 +255,22 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._decode_fns: Dict[Tuple, Any] = {}
+        self._batch_transform = batch_transform
+
+    def _maybe_expand(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Expand a device-mixture index batch to the full collated batch.
+        A Python structural check: jit retraces per batch structure, so
+        regular batches never pay the branch."""
+        if self._batch_transform is not None and "mix_idx" in batch:
+            return self._batch_transform(batch)
+        return batch
 
     # ------------------------------------------------------------- init
     def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         init_rng, dropout_rng = jax.random.split(rng)
         batch = _device_batch(sample_batch, self.model.config.compute_dtype)
+        batch = self._maybe_expand(batch)
         variables = self.model.init(
             {"params": init_rng, "dropout": dropout_rng},
             batch["encoder_inputs"], batch["encoder_mask"],
@@ -293,6 +314,7 @@ class Trainer:
             return mask
 
         def train_step(state: TrainState, batch: Dict[str, Any]):
+            batch = self._maybe_expand(batch)
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             drop_rng, modality_rng = jax.random.split(step_rng)
             # Dropout masks draw ~10^8 random bits/step; threefry generation
@@ -353,6 +375,7 @@ class Trainer:
 
     def _build_eval_step(self):
         def eval_step(params, batch):
+            batch = self._maybe_expand(batch)
             out = self.model.apply(
                 {"params": params},
                 batch["encoder_inputs"], batch["encoder_mask"],
@@ -469,8 +492,13 @@ class Trainer:
                     "train-batch device_put",
                 )
                 if self._train_step is None:
+                    probe = device_batch
+                    if "encoder_inputs" not in probe:
+                        # Device-mixture index batch: expand once, eagerly,
+                        # to learn the modality layout (shapes only).
+                        probe = jax.eval_shape(self._maybe_expand, probe)
                     segments = _modality_segments(
-                        device_batch["encoder_inputs"],
+                        probe["encoder_inputs"],
                         order=list(self.model.data_config),
                     )
                     self._train_step = self._build_train_step(segments)
