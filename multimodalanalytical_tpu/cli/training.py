@@ -98,7 +98,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         )
         if device_mix is not None:
             loaders["train"] = device_mix.loader
-            batch_transform = device_mix.premix
+            batch_transform = (device_mix.premix, device_mix.consts)
     else:
         mesh = None
 

@@ -244,11 +244,20 @@ class DeviceMixtureLoader:
 # ---------------------------------------------------------------------------
 
 class DeviceMixture:
-    """Staged pool arrays + the traced index->batch expansion."""
+    """Staged pool arrays + the traced index->batch expansion.
 
-    def __init__(self, loader: DeviceMixtureLoader, premix, pool_bytes: int):
+    ``premix(consts, batch)`` takes the pool arrays as an EXPLICIT argument
+    pytree: a closed-over concrete array is inlined into the lowered HLO as
+    a literal (measured: a 38k x 1800 f32 pool produced a 547 MB module
+    that wedged the remote-compile service), while an argument stays a
+    runtime parameter. ``consts`` are committed device arrays created once;
+    passing the same handles every step moves nothing."""
+
+    def __init__(self, loader: DeviceMixtureLoader, premix,
+                 consts: Dict[str, Any], pool_bytes: int):
         self.loader = loader
         self.premix = premix
+        self.consts = consts
         self.pool_bytes = pool_bytes
 
 
@@ -303,19 +312,11 @@ def _stage_pool(
     return arrays, static
 
 
-def build_premix(arrays: Dict[str, Any], static: Dict[str, Any], mesh=None):
-    """Return the traced ``premix(batch) -> collated batch`` closure over
-    HBM-staged pool arrays (replicated across the mesh)."""
-    import jax
+def build_premix(static: Dict[str, Any]):
+    """Return the traced ``premix(consts, batch) -> collated batch``
+    function. ``consts`` is the staged pool-array pytree — an explicit
+    argument, never a closure (see DeviceMixture docstring)."""
     import jax.numpy as jnp
-
-    from ..parallel.mesh import replicated
-
-    if mesh is not None:
-        put = lambda x: jax.device_put(x, replicated(mesh))  # noqa: E731
-    else:
-        put = jax.device_put
-    dev = {k: put(v) for k, v in arrays.items()}
 
     spec_len = static["spec_len"]
     patch = static["patch_size"]
@@ -326,7 +327,8 @@ def build_premix(arrays: Dict[str, Any], static: Dict[str, Any], mesh=None):
     order = static["modality_order"]
     has_align = static["align"]
 
-    def premix(batch: Dict[str, Any]) -> Dict[str, Any]:
+    def premix(consts: Dict[str, Any], batch: Dict[str, Any]) -> Dict[str, Any]:
+        dev = consts
         idx = batch["mix_idx"]                       # (B, nc) i32
         comp = batch["comp_slot"]                    # (B,)
         w = batch["mix_weights"].astype(jnp.float32)  # (B, nc)
@@ -421,7 +423,14 @@ def try_build_device_mixture(
         return None
 
     arrays, static = _stage_pool(pool_table, data_config, preprocessors, collator)
-    premix = build_premix(arrays, static, mesh=mesh)
+    from ..parallel.mesh import replicated
+
+    if mesh is not None:
+        put = lambda x: jax.device_put(x, replicated(mesh))  # noqa: E731
+    else:
+        put = jax.device_put
+    consts = {k: put(v) for k, v in arrays.items()}
+    premix = build_premix(static)
     loader = DeviceMixtureLoader(
         n_rows=len(pool_table),
         mixture_config=mixture_config,
@@ -437,4 +446,4 @@ def try_build_device_mixture(
         len(pool_table), pool_bytes / 1e6,
         loader.max_n_compounds * batch_size * 9,
     )
-    return DeviceMixture(loader, premix, pool_bytes)
+    return DeviceMixture(loader, premix, consts, pool_bytes)

@@ -211,11 +211,16 @@ class Trainer:
         checkpoint_wait_timeout_s: float = 600.0,
         batch_transform=None,
     ):
-        """``batch_transform``: optional traced function applied to a batch
-        INSIDE the jitted train/eval steps when the batch is an index batch
-        (has "mix_idx"); regular batches pass through untouched. Used by
-        the device-mixture fast path (data/device_mixture.py) to expand
-        host sampling decisions into the full collated batch on-chip."""
+        """``batch_transform``: optional ``(fn, consts)`` pair applied to a
+        batch INSIDE the jitted train step when the batch is an index batch
+        (has "mix_idx"); regular batches pass through untouched. ``fn(
+        consts, batch)`` receives ``consts`` (committed device arrays, e.g.
+        the device-mixture pool) as an explicit jit ARGUMENT every step —
+        closing over a concrete array would inline it into the lowered HLO
+        as a literal (a 295 MB pool measured 547 MB of module text and
+        wedged the remote-compile service). Used by the device-mixture fast
+        path (data/device_mixture.py); validation/predict loaders stay on
+        the host path and never carry index batches."""
         self.model = model
         self.tokenizer = target_tokenizer
         lr = float(lr)
@@ -255,14 +260,20 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._decode_fns: Dict[Tuple, Any] = {}
-        self._batch_transform = batch_transform
+        if batch_transform is not None:
+            self._transform_fn, self._transform_consts = batch_transform
+        else:
+            self._transform_fn, self._transform_consts = None, {}
 
-    def _maybe_expand(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+    def _maybe_expand(self, batch: Dict[str, Any],
+                      consts: Dict[str, Any]) -> Dict[str, Any]:
         """Expand a device-mixture index batch to the full collated batch.
         A Python structural check: jit retraces per batch structure, so
-        regular batches never pay the branch."""
-        if self._batch_transform is not None and "mix_idx" in batch:
-            return self._batch_transform(batch)
+        regular batches never pay the branch. ``consts`` must be the traced
+        jit argument, never ``self._transform_consts`` directly inside a
+        jitted function (closure constants inline into the HLO)."""
+        if self._transform_fn is not None and "mix_idx" in batch:
+            return self._transform_fn(consts, batch)
         return batch
 
     # ------------------------------------------------------------- init
@@ -270,7 +281,8 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         init_rng, dropout_rng = jax.random.split(rng)
         batch = _device_batch(sample_batch, self.model.config.compute_dtype)
-        batch = self._maybe_expand(batch)
+        if self._transform_fn is not None and "mix_idx" in batch:
+            batch = jax.jit(self._transform_fn)(self._transform_consts, batch)
         variables = self.model.init(
             {"params": init_rng, "dropout": dropout_rng},
             batch["encoder_inputs"], batch["encoder_mask"],
@@ -313,8 +325,9 @@ class Trainer:
                 mask = jax.lax.dynamic_update_slice(mask, seg, (0, start))
             return mask
 
-        def train_step(state: TrainState, batch: Dict[str, Any]):
-            batch = self._maybe_expand(batch)
+        def train_step(state: TrainState, batch: Dict[str, Any],
+                       transform_consts: Optional[Dict[str, Any]] = None):
+            batch = self._maybe_expand(batch, transform_consts)
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             drop_rng, modality_rng = jax.random.split(step_rng)
             # Dropout masks draw ~10^8 random bits/step; threefry generation
@@ -375,7 +388,6 @@ class Trainer:
 
     def _build_eval_step(self):
         def eval_step(params, batch):
-            batch = self._maybe_expand(batch)
             out = self.model.apply(
                 {"params": params},
                 batch["encoder_inputs"], batch["encoder_mask"],
@@ -469,6 +481,14 @@ class Trainer:
                 )
                 global_step = int(restored["step"])
                 start_epoch = global_step // max(len(train_loader), 1)
+                # Deterministic continuation: the shuffling loader seeds
+                # each epoch's permutation from (config seed + its epoch
+                # COUNTER), which restarts at 0 in a fresh process. Sync it
+                # so the resumed run sees the same batch order the
+                # uninterrupted run would have (pinned by
+                # tests/test_supervisor.py resume-equality).
+                if hasattr(train_loader, "_epoch"):
+                    train_loader._epoch = start_epoch
                 logger.info("Resumed from step %d (epoch %d)", global_step,
                             start_epoch)
             except FileNotFoundError:
@@ -494,9 +514,12 @@ class Trainer:
                 if self._train_step is None:
                     probe = device_batch
                     if "encoder_inputs" not in probe:
-                        # Device-mixture index batch: expand once, eagerly,
+                        # Device-mixture index batch: trace the expansion
                         # to learn the modality layout (shapes only).
-                        probe = jax.eval_shape(self._maybe_expand, probe)
+                        probe = jax.eval_shape(
+                            self._maybe_expand, probe,
+                            self._transform_consts,
+                        )
                     segments = _modality_segments(
                         probe["encoder_inputs"],
                         order=list(self.model.data_config),
@@ -504,7 +527,8 @@ class Trainer:
                     self._train_step = self._build_train_step(segments)
                 if profile_dir and global_step == 2:
                     jax.profiler.start_trace(profile_dir)
-                state, metrics = self._train_step(state, device_batch)
+                state, metrics = self._train_step(
+                    state, device_batch, self._transform_consts)
                 if profile_dir and global_step == 6:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics

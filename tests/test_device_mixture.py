@@ -144,10 +144,16 @@ def test_premix_matches_host_collator(mixture_config, length):
                                   batch_size=4, seed=3247)
     assert dm is not None
     premix = jax.jit(dm.premix)
+    # Regression guard for the closure-constant bug: the lowered module
+    # must NOT inline the pool (547 MB of HLO text wedged the remote
+    # compiler when it did).
+    sample = next(iter(dm.loader))
+    lowered_chars = len(premix.lower(dm.consts, sample).as_text())
+    assert lowered_chars < 2_000_000, f"pool inlined into HLO ({lowered_chars} chars)"
 
     host_loader = DataLoader(stream, collator, batch_size=4, prefetch=0)
     for host_batch, idx_batch in zip(host_loader, dm.loader):
-        fast = jax.device_get(premix(idx_batch))
+        fast = jax.device_get(premix(dm.consts, idx_batch))
         assert host_batch["n_valid"] == idx_batch["n_valid"]
         np.testing.assert_array_equal(
             fast["encoder_inputs"]["Formula"],
@@ -218,17 +224,18 @@ def test_trainer_fit_device_mix_matches_host_path():
             if step is None:
                 probe = db
                 if "encoder_inputs" not in probe:
-                    probe = jax.eval_shape(trainer._maybe_expand, probe)
+                    probe = jax.eval_shape(trainer._maybe_expand, probe,
+                                           trainer._transform_consts)
                 step = trainer._build_train_step(
                     _modality_segments(probe["encoder_inputs"],
                                        order=list(config)))
-            state, metrics = step(state, db)
+            state, metrics = step(state, db, trainer._transform_consts)
             out.append(float(metrics["loss"]))
         return out
 
     host_losses = losses(DataLoader(stream, collator, batch_size=4,
                                     prefetch=0), None)
-    fast_losses = losses(dm.loader, dm.premix)
+    fast_losses = losses(dm.loader, (dm.premix, dm.consts))
     np.testing.assert_allclose(fast_losses, host_losses, rtol=5e-4)
 
 
