@@ -483,12 +483,16 @@ class Trainer:
                 start_epoch = global_step // max(len(train_loader), 1)
                 # Deterministic continuation: the shuffling loader seeds
                 # each epoch's permutation from (config seed + its epoch
-                # COUNTER), which restarts at 0 in a fresh process. Sync it
-                # so the resumed run sees the same batch order the
-                # uninterrupted run would have (pinned by
-                # tests/test_supervisor.py resume-equality).
+                # COUNTER), which restarts at 0 in a fresh process. Advance
+                # it by the epochs already trained so the resumed run sees
+                # the same batch order the uninterrupted run would have.
+                # RELATIVE, not absolute: pre-fit consumers (init_state's
+                # sample batch) bump the counter identically in both the
+                # original and the resumed process, so only the skipped
+                # epochs need accounting (pinned by tests/test_supervisor.py
+                # resume-equality).
                 if hasattr(train_loader, "_epoch"):
-                    train_loader._epoch = start_epoch
+                    train_loader._epoch += start_epoch
                 logger.info("Resumed from step %d (epoch %d)", global_step,
                             start_epoch)
             except FileNotFoundError:
