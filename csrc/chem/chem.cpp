@@ -145,6 +145,15 @@ struct Bond {
   // 0 = no stereo. refs are neighbor atom indices at ends a and b.
   int8_t stereo = 0;
   int stereo_ref_a = -1, stereo_ref_b = -1;
+  // Stereo-unit END atoms when they differ from the bond endpoints: an odd
+  // cumulated chain (butatriene and longer odd systems) is planar, so its
+  // cis/trans unit spans the chain TERMINI; the perceived stereo is stored
+  // on one representative chain bond with the termini recorded here. -1
+  // (the default) means the unit ends are the bond's own endpoints.
+  int stereo_end_a = -1, stereo_end_b = -1;
+
+  int end_a() const { return stereo_end_a >= 0 ? stereo_end_a : a; }
+  int end_b() const { return stereo_end_b >= 0 ? stereo_end_b : b; }
 
   int other(int atom) const { return atom == a ? b : a; }
 };
@@ -660,22 +669,78 @@ bool kekulize_check(const Mol& mol) {
 // -1 = opposite / trans). Conflicting marks (two same-side neighbors of one
 // end marked identically) invalidate the molecule, like RDKit. Directions
 // are cleared afterwards; writers re-derive them from the stereo field.
+// Is atom x an interior sp center of a cumulated chain: a non-aromatic
+// carbon whose only two bonds are both double?
+static bool cumulene_sp_center(const Mol& mol, int x) {
+  const Atom& a = mol.atoms[x];
+  if (a.z != 6 || a.aromatic || a.bonds.size() != 2) return false;
+  for (int bidx : a.bonds) {
+    const Bond& b = mol.bonds[bidx];
+    if (b.order != BOND_DOUBLE || b.in_aromatic_ring) return false;
+  }
+  return true;
+}
+
+// Maximal cumulated chain through double bond `bi`: ordered bond list plus
+// the two terminal (non-sp) atoms. Returns false for a fully cumulated
+// CYCLE (no termini; fuzz inputs like C1=C=C=1), whose bonds are still
+// appended to `chain` so the caller can mark them visited.
+static bool cumulene_chain(const Mol& mol, int bi, std::vector<int>* chain,
+                           int* end_a, int* end_b) {
+  chain->assign(1, bi);
+  int ends[2] = {mol.bonds[bi].a, mol.bonds[bi].b};
+  for (int e = 0; e < 2; ++e) {
+    int cur_bond = bi;
+    int x = ends[e];
+    while (cumulene_sp_center(mol, x)) {
+      const Atom& ax = mol.atoms[x];
+      int next_bond = ax.bonds[0] == cur_bond ? ax.bonds[1] : ax.bonds[0];
+      if (next_bond == bi) return false;  // cumulated cycle closed
+      chain->push_back(next_bond);
+      cur_bond = next_bond;
+      x = mol.bonds[next_bond].other(x);
+    }
+    ends[e] = x;
+  }
+  *end_a = ends[0];
+  *end_b = ends[1];
+  return true;
+}
+
 bool perceive_bond_stereo(Mol* mol) {
   auto side = [&](const Bond& d, int x) {
     return d.a == x ? static_cast<int>(d.dir) : -static_cast<int>(d.dir);
   };
-  for (auto& db : mol->bonds) {
-    if (db.order != BOND_DOUBLE || db.in_aromatic_ring) continue;
-    if (mol->atoms[db.a].aromatic || mol->atoms[db.b].aromatic) continue;
+  std::vector<char> seen(mol->bonds.size(), 0);
+  for (size_t bi = 0; bi < mol->bonds.size(); ++bi) {
+    if (seen[bi]) continue;
+    const Bond& first = mol->bonds[bi];
+    if (first.order != BOND_DOUBLE || first.in_aromatic_ring) continue;
+    if (mol->atoms[first.a].aromatic || mol->atoms[first.b].aromatic) continue;
+    // Group the whole cumulated chain (k = 1 is the plain alkene case).
+    std::vector<int> chain;
+    int ends[2] = {-1, -1};
+    bool open = cumulene_chain(*mol, static_cast<int>(bi), &chain,
+                               &ends[0], &ends[1]);
+    for (int cb : chain) seen[cb] = 1;
+    const size_t k = chain.size();
+    if (!open) continue;          // cumulated cycle: no termini
+    // Even chains are axial units: k=2 (allene) is handled by
+    // perceive_axial_stereo; longer even chains are out of scope.
+    // Odd chains are planar cis/trans units spanning the termini; support
+    // is limited to all-carbon termini (hetero termini out of scope,
+    // matching the heterocumulene policy for axial marks).
+    if (k % 2 == 0) continue;
+    if (k >= 3 && (mol->atoms[ends[0]].z != 6 || mol->atoms[ends[1]].z != 6))
+      continue;
     int refs[2] = {-1, -1};
     int sides[2] = {0, 0};
     bool conflict = false;
-    int ends[2] = {db.a, db.b};
     for (int e = 0; e < 2; ++e) {
       int x = ends[e];
       for (int bidx : mol->atoms[x].bonds) {
         const Bond& d = mol->bonds[bidx];
-        if (&d == &db || d.order != BOND_SINGLE || d.dir == 0) continue;
+        if (d.order != BOND_SINGLE || d.dir == 0) continue;
         if (d.a != x && d.b != x) continue;
         int n = d.other(x);
         int s = side(d, x);
@@ -689,9 +754,16 @@ bool perceive_bond_stereo(Mol* mol) {
     }
     if (conflict) return false;
     if (refs[0] >= 0 && refs[1] >= 0) {
-      db.stereo = static_cast<int8_t>(sides[0] * sides[1]);
-      db.stereo_ref_a = refs[0];
-      db.stereo_ref_b = refs[1];
+      // Store on the lowest-index chain bond; record termini when the unit
+      // spans more than one bond.
+      Bond& sb = mol->bonds[*std::min_element(chain.begin(), chain.end())];
+      sb.stereo = static_cast<int8_t>(sides[0] * sides[1]);
+      sb.stereo_ref_a = refs[0];
+      sb.stereo_ref_b = refs[1];
+      if (k > 1) {
+        sb.stereo_end_a = ends[0];
+        sb.stereo_end_b = ends[1];
+      }
     }
   }
   for (auto& b : mol->bonds) b.dir = 0;
@@ -1113,8 +1185,8 @@ void assign_directions(WriteCtx* ctx) {
   std::sort(stereo_bonds.begin(), stereo_bonds.end(), [&](int x, int y) {
     const Bond& bx = mol.bonds[x];
     const Bond& by = mol.bonds[y];
-    auto kx = std::minmax(ranks[bx.a], ranks[bx.b]);
-    auto ky = std::minmax(ranks[by.a], ranks[by.b]);
+    auto kx = std::minmax(ranks[bx.end_a()], ranks[bx.end_b()]);
+    auto ky = std::minmax(ranks[by.end_a()], ranks[by.end_b()]);
     if (kx != ky) return kx < ky;
     return x < y;
   });
@@ -1163,17 +1235,17 @@ void assign_directions(WriteCtx* ctx) {
     int first_unknown = -1;
     for (int bi : stereo_bonds) {
       const Bond& db = mol.bonds[bi];
-      int sa = get_side(db.a, db.stereo_ref_a);
-      int sb = get_side(db.b, db.stereo_ref_b);
+      int sa = get_side(db.end_a(), db.stereo_ref_a);
+      int sb = get_side(db.end_b(), db.stereo_ref_b);
       if (sa != 0 && sb != 0) continue;
       if (sa == 0 && sb == 0) {
         if (first_unknown < 0) first_unknown = bi;
         continue;
       }
       if (sa != 0) {
-        set_end(db.b, db.stereo_ref_b, db.stereo * sa, bi);
+        set_end(db.end_b(), db.stereo_ref_b, db.stereo * sa, bi);
       } else {
-        set_end(db.a, db.stereo_ref_a, db.stereo * sb, bi);
+        set_end(db.end_a(), db.stereo_ref_a, db.stereo * sb, bi);
       }
       changed = true;
     }
@@ -1182,8 +1254,8 @@ void assign_directions(WriteCtx* ctx) {
       // Seed a fresh stereo system: lowest-rank end, lowest-rank single
       // neighbor goes '/' (side +1).
       const Bond& db = mol.bonds[first_unknown];
-      int x = ranks[db.a] <= ranks[db.b] ? db.a : db.b;
-      int ref = (x == db.a) ? db.stereo_ref_a : db.stereo_ref_b;
+      int x = ranks[db.end_a()] <= ranks[db.end_b()] ? db.end_a() : db.end_b();
+      int ref = (x == db.end_a()) ? db.stereo_ref_a : db.stereo_ref_b;
       auto nbrs = single_nbrs(x, first_unknown);
       int lowest = nbrs[0];
       for (int n : nbrs) {
@@ -1587,6 +1659,7 @@ void drop_uninformative_stereo(Mol* mol) {
     if (sz > 0 && sz < 8) {
       b.stereo = 0;
       b.stereo_ref_a = b.stereo_ref_b = -1;
+      b.stereo_end_a = b.stereo_end_b = -1;
     }
   }
 
@@ -1694,11 +1767,12 @@ void drop_uninformative_stereo(Mol* mol) {
     const Bond& db = mol->bonds[i];
     if (db.stereo == 0) continue;
     bool tied = false;
-    for (int end : {db.a, db.b}) {
-      std::vector<int> subs;  // substituents of this end, excluding the
-      for (int bidx : mol->atoms[end].bonds) {  // double-bond partner
-        const int other = mol->bonds[bidx].other(end);
-        if (other != db.a && other != db.b) subs.push_back(ranks[other]);
+    for (int end : {db.end_a(), db.end_b()}) {
+      std::vector<int> subs;  // single-bonded substituents of this unit end
+      for (int bidx : mol->atoms[end].bonds) {  // (excludes the double bond
+        const Bond& nb = mol->bonds[bidx];      //  into the chain/partner)
+        if (nb.order != BOND_SINGLE) continue;
+        subs.push_back(ranks[nb.other(end)]);
       }
       tied |= (subs.size() == 2 && subs[0] == subs[1]);
     }

@@ -549,6 +549,89 @@ def test_allene_directional_marks_not_misread():
 
 
 # ---------------------------------------------------------------------------
+# Odd cumulene (butatriene-class) cis/trans stereo (driver-round 5). An odd
+# cumulated chain is planar, so its termini carry alkene-like E/Z stereo
+# spanning the whole chain (RDKit perceives these as stereo bonds through
+# its extended stereo machinery; the reference canonicalizes predictions
+# through RDKit, reference utils.py:22-41). Even chains >= 4 and hetero
+# termini stay out of scope: marks clear, pinned below.
+
+CUMULENE_EZ_CASES = [
+    ("butatriene_E", "C/C=C=C=C/C"),
+    ("butatriene_Z", "C/C=C=C=C\\C"),
+    ("butatriene_F", "F/C=C=C=C/C"),
+    ("hexapentaene_E", "C/C=C=C=C=C=C/C"),
+]
+
+
+@pytest.mark.parametrize("name,smiles", CUMULENE_EZ_CASES,
+                         ids=[c[0] for c in CUMULENE_EZ_CASES])
+def test_odd_cumulene_ez_survives_and_is_invariant(name, smiles):
+    out = canonicalize(smiles)
+    assert out is not None and "/" in out or "\\" in out, out
+    assert canonicalize(out) == out  # idempotent
+    forms = {canonicalize(r) for r in random_smiles(smiles, 50, seed=5)}
+    assert forms == {out}, forms
+
+
+def test_odd_cumulene_ez_trio_distinct():
+    trio = {canonicalize("C/C=C=C=C/C"), canonicalize("C/C=C=C=C\\C"),
+            canonicalize("CC=C=C=CC")}
+    assert len(trio) == 3, trio
+    penta = {canonicalize("C/C=C=C=C=C=C/C"),
+             canonicalize("C/C=C=C=C=C=C\\C"),
+             canonicalize("CC=C=C=C=C=CC")}
+    assert len(penta) == 3, penta
+
+
+def test_odd_cumulene_coupled_with_alkene_stereo():
+    """A butatriene conjugated to a plain alkene through an allylic single
+    bond: all four E/Z combinations must stay distinct and every rendering
+    of each must collapse to one string."""
+    combos = {}
+    for s in ["C/C=C/C=C=C=C/C", "C/C=C/C=C=C=C\\C",
+              "C/C=C\\C=C=C=C/C", "C/C=C\\C=C=C=C\\C"]:
+        out = canonicalize(s)
+        combos[s] = out
+        forms = {canonicalize(r) for r in random_smiles(s, 40, seed=9)}
+        assert forms == {out}, (s, forms)
+    assert len(set(combos.values())) == 4, combos
+
+
+CUMULENE_EZ_CLEARED = [
+    # even chains >= 4: axial-like, out of scope -> directional marks clear
+    ("pentatetraene_dirs", "C/C=C=C=C=C/C", "CC=C=C=C=CC"),
+    # hetero terminus: out of scope -> cleared
+    ("aza_butatriene", "C/N=C=C=C/C", "CC=C=C=NC"),
+    # tied terminal substituents: not stereogenic
+    ("tied_terminal", "C/C=C=C=C(/C)C", "CC(=C=C=CC)C"),
+    # =CH2 terminus (explicit-H rendering folds to two identical Hs)
+    ("ch2_terminus", "C/C=C=C=C/[H]", "C=C=C=CC"),
+]
+
+
+@pytest.mark.parametrize("name,marked,plain", CUMULENE_EZ_CLEARED,
+                         ids=[c[0] for c in CUMULENE_EZ_CLEARED])
+def test_odd_cumulene_out_of_scope_cleared(name, marked, plain):
+    out = canonicalize(marked)
+    assert out == canonicalize(plain) == plain, out
+    assert "/" not in out and "\\" not in out
+
+
+def test_odd_cumulene_conflict_rejected():
+    # two same-side marks at one terminus: invalid, like alkene conflicts
+    assert canonicalize("C(/F)(/Cl)=C=C=CC") is None
+
+
+def test_cumulated_rings_never_crash():
+    for s in ["C1=C=C=C1", "C1=C=C=C=C1", "C1=C=C=C=C=C1",
+              "C/1=C=C=C=C1", "C=1=C=CC=1"]:
+        out = canonicalize(s)
+        if out is not None:
+            assert canonicalize(out) == out, (s, out)
+
+
+# ---------------------------------------------------------------------------
 # Orbit-count tests (driver-round 4). Stronger than example pairs: enumerate
 # EVERY full stereo-mark pattern of a symmetric skeleton and assert the number
 # of distinct canonical strings equals the number of distinct stereoisomers
