@@ -737,6 +737,8 @@ def test_rendering_idempotence_fuzz_120k():
     corpus = [(n, s, e) for n, s, e in GOLDENS]
     corpus += [(n, a, None) for n, a, b, _ in AROMATIC_NH_POSITIONAL]
     corpus += [(n, s, e) for n, s, e in ORGANOMETALLIC_ADJACENT]
+    corpus += [(n, s, None) for n, s in CUMULENE_EZ_CASES]
+    corpus += [(n, s, e) for n, s, e in ALLENE_GOLDENS]
     per = max(1, 120_000 // len(corpus))
     total = 0
     for name, smiles, expected in corpus:
