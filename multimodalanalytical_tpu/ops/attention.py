@@ -280,6 +280,17 @@ class MultiHeadAttention(nn.Module):
             # cache, which stays on the XLA fallback.
             and (quantized or probe.dtype == jnp.bfloat16)
         )
+        if kernel_ok and beams > 1:
+            # Blocking legality: the flat (rows*beams, D) q/k/v/out blocks
+            # need a rows-per-program with (rows*beams) % 8 == 0 inside the
+            # VMEM budget; wide beams at long stages (e.g. K=30 past
+            # ~180 staged steps) have none and must take the XLA path.
+            from .beam_attention import update_kernel_rows
+
+            kernel_ok = update_kernel_rows(
+                batch, beams, length, self.d_model, self.num_heads,
+                probe.dtype.itemsize, quantized,
+            ) > 0
         if (beams > 1 and kernel_ok and extra_bias is None
                 and self.use_beam_kernel and self.scale_qk
                 and jax.default_backend() != "cpu"):

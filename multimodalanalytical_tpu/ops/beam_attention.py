@@ -56,13 +56,33 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _rows_per_program(batch: int, row_bytes: int) -> int:
-    """Largest divisor of `batch` whose cache block fits the VMEM budget."""
-    best = 1
+def _rows_per_program(batch: int, row_bytes: int, beams: int = 0) -> int:
+    """Largest divisor of `batch` whose cache block fits the VMEM budget.
+
+    With ``beams`` given (the update kernel's flat-2D q/k/v/out blocks,
+    shape (rows*beams, d_model)), the block's second-minor dim must satisfy
+    Mosaic tiling: (rows*beams) % 8 == 0 or rows == batch. Returns 0 when
+    no divisor satisfies both — the caller must take the XLA path then."""
+    best = 0 if beams else 1
     for g in range(1, batch + 1):
-        if batch % g == 0 and g * row_bytes <= _BLOCK_BUDGET_BYTES:
-            best = g
+        if batch % g or g * row_bytes > _BLOCK_BUDGET_BYTES:
+            continue
+        if beams and (g * beams) % 8 and g != batch:
+            continue
+        best = g
     return best
+
+
+def update_kernel_rows(batch: int, beams: int, length: int, d_model: int,
+                       num_heads: int, itemsize: int, quantized: bool) -> int:
+    """Rows-per-program the update kernel would use for this shape; 0 means
+    the shape has no tile-legal blocking and callers must fall back to XLA
+    (ops/attention.py consults this in its kernel_ok gate)."""
+    flat = length * beams
+    row_bytes = 2 * flat * d_model * itemsize
+    if quantized:
+        row_bytes += 2 * num_heads * flat * 4  # f32 scale prefix
+    return _rows_per_program(batch, row_bytes, beams=beams)
 
 
 def _kernel(pos_ref, q_ref, onehot_ref, cache_ref, out_ref, *,
@@ -337,8 +357,14 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
             # the staged average). int8 values are exact in bf16, so the
             # replicated rows times the row scale reproduce the
             # quantize-dequantize values bit-for-bit.
-            s_sel_k = s_sel_ref[0][:, :kh].astype(jnp.float32)  # (G, K*H)
-            s_sel_v = s_sel_ref[1][:, :kh].astype(jnp.float32)
+            # s_sel arrives as a FULL-array block (tiny: (2, B, pad(K*H))
+            # f32): blocking it per-program put `rows` in the second-minor
+            # dim, where rows < 8 (long stages / K=30) violates Mosaic's
+            # (8, 128) tiling. Slice this program's rows here instead.
+            s_sel_k = s_sel_ref[0, pl.ds(i_prog * rows, rows), :][
+                :, :kh].astype(jnp.float32)                 # (G, K*H)
+            s_sel_v = s_sel_ref[1, pl.ds(i_prog * rows, rows), :][
+                :, :kh].astype(jnp.float32)
             self_k = k_new_rep * s_sel_k[:, :, None]         # (G, K*H, D)
             self_v = v_new_rep * s_sel_v[:, :, None]
             _queue_append_dma(k_new, v_new)
@@ -578,7 +604,11 @@ def beam_select_attention_update(
     row_bytes = 2 * flat * d_model * cache.dtype.itemsize
     if scales is not None:
         row_bytes += 2 * num_heads * flat * scales.dtype.itemsize
-    rows = _rows_per_program(batch, row_bytes)
+    rows = _rows_per_program(batch, row_bytes, beams=beams)
+    assert rows > 0, (
+        "no tile-legal rows-per-program for this shape; callers must gate "
+        "on update_kernel_rows(...) > 0 (ops/attention.py kernel_ok)"
+    )
 
     onehot = (
         ancestry[:, :, :, None] == jnp.arange(beams)[None, None, None, :]
@@ -633,8 +663,13 @@ def beam_select_attention_update(
                          lambda i, pos: (0, i, 0, 0)),
             pl.BlockSpec((2, rows) + fresh_scales.shape[2:],
                          lambda i, pos: (0, i, 0, 0)),
-            pl.BlockSpec((2, rows, fresh_row_scales.shape[-1]),
-                         lambda i, pos: (0, i, 0)),
+            # Full-array block: with `rows` in the second-minor position
+            # this spec is only tile-legal for rows % 8 == 0, which long
+            # stages and wide beams (K=30 -> rows=4) violate. The buffer
+            # is tiny ((2, B, pad(K*H)) f32), so every program stages all
+            # of it and slices its rows with program_id in the kernel.
+            pl.BlockSpec(fresh_row_scales.shape,
+                         lambda i, pos: (0, 0, 0)),
         ])
         out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))
