@@ -251,8 +251,11 @@ class Trainer:
         # (step, device-snapshot tree, metrics) of an improvement whose save
         # was rate-suppressed; flushed by the next due save / end of fit.
         self._pending_best = None
-        # Async train-metric logging (see _log_async).
+        # Async train-metric logging (see _log_async). _log_dead flips when
+        # a drain times out (wedged fetch thread): logging then disables
+        # itself for the rest of the fit instead of hanging it.
         self._log_queue = None
+        self._log_dead = False
         self.tx = build_optimizer(
             optimiser, lr, num_steps, weight_decay, adam_beta1, adam_beta2,
             clip_grad, acc_batches,
@@ -300,7 +303,29 @@ class Trainer:
         return jax.device_put(state, replicated(self.mesh))
 
     def state_with_params(self, state: TrainState, params) -> TrainState:
-        return state.replace(params=jax.device_put(params, replicated(self.mesh)))
+        state = state.replace(
+            params=jax.device_put(params, replicated(self.mesh)))
+        self._flush_transfers(state.params)
+        return state
+
+    def _flush_transfers(self, tree) -> None:
+        """Force-complete pending host->device uploads of ``tree``.
+
+        Checkpoint restores enqueue ~0.6 GB of lazy uploads; on the axon
+        relay, letting them drain CONCURRENTLY with fit's dispatch stream
+        and the async metric fetches wedged the client twice in a row
+        (round 5: both finetune folds hung in the log worker's first
+        scalar fetch while from-scratch folds — no restore in flight —
+        sailed). device_get of an in-graph scalar is the reliable sync on
+        axon (block_until_ready can return early) and moves 4 bytes where
+        fetching a leaf would move megabytes; transfers are queued in
+        order on the single client, so one scalar dispatched after the
+        uploads flushes them all."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        if leaves:
+            jax.device_get(
+                (jnp.sum(leaves[0]) + jnp.sum(leaves[-1])).astype(
+                    jnp.float32))
 
     # ------------------------------------------------------------ steps
     def _build_train_step(self, segments: List[Tuple[str, int, int]]):
@@ -493,6 +518,7 @@ class Trainer:
                 # resume-equality).
                 if hasattr(train_loader, "_epoch"):
                     train_loader._epoch += start_epoch
+                self._flush_transfers((state.params, state.opt_state))
                 logger.info("Resumed from step %d (epoch %d)", global_step,
                             start_epoch)
             except FileNotFoundError:
@@ -636,6 +662,8 @@ class Trainer:
         import queue
         import threading
 
+        if self._log_dead:
+            return
         if self._log_queue is None:
             # Bounded: if the drain thread ever falls behind (host CPU
             # contention), puts block briefly instead of accumulating
@@ -667,11 +695,38 @@ class Trainer:
 
             threading.Thread(target=drain, daemon=True,
                              name="train-metrics-log").start()
-        self._log_queue.put((writer, epoch, step, metrics))
+        try:
+            # Non-blocking: with a wedged fetch thread the queue fills long
+            # before the next bounded drain runs (750 log events per 7.5k-
+            # step validation interval vs 256 slots) — a blocking put here
+            # would reintroduce the hang the drain timeout exists to stop.
+            self._log_queue.put_nowait((writer, epoch, step, metrics))
+        except queue.Full:
+            self._log_dead = True
+            logger.warning(
+                "async metric log queue full (fetch thread wedged?) — "
+                "disabling train-metric logging for this fit"
+            )
 
-    def _drain_logs(self) -> None:
-        if self._log_queue is not None:
-            self._log_queue.join()
+    def _drain_logs(self, timeout_s: float = 180.0) -> None:
+        """Bounded drain: a queue.join() here hung fit for the full stage
+        timeout when the fetch thread wedged on the relay (round 5, ft
+        folds). Poll with a deadline instead; on timeout, abandon async
+        metric logging for the rest of the fit — training and validation
+        matter more than train-loss log lines."""
+        if self._log_queue is None or self._log_dead:
+            return
+        deadline = time.time() + timeout_s
+        while self._log_queue.unfinished_tasks and time.time() < deadline:
+            time.sleep(0.05)
+        if self._log_queue.unfinished_tasks:
+            self._log_dead = True
+            logger.warning(
+                "async metric log drain timed out after %.0fs with %d "
+                "pending fetches — the log thread is likely wedged on the "
+                "relay; disabling train-metric logging for this fit",
+                timeout_s, self._log_queue.unfinished_tasks,
+            )
 
     def _flush_pending_best(self, checkpoints) -> None:
         """End-of-fit: drain in-flight saves FIRST (save_async's queue is
