@@ -329,7 +329,10 @@ class MultiHeadAttention(nn.Module):
                     cache_kv["data"], ancestry, position, H,
                     scales=cache_kv["scale"],
                     fresh_scales=jnp.stack([k_hk, v_hk]),
-                    fresh_row_scales=jnp.stack([k_sel, v_sel]),
+                    # Batch-major (B, 2, pad(K*H)): keeps the per-program
+                    # kernel block's minor dims equal to the array's (any
+                    # rows-per-program is then tile-legal).
+                    fresh_row_scales=jnp.stack([k_sel, v_sel], axis=1),
                 )
                 out = out.astype(x.dtype)
                 return self.out_proj(out), {"data": data, "scale": scale}

@@ -357,14 +357,15 @@ def _kernel_impl(pos_ref, q_ref, onehot_ref, cache_ref, scale_ref, out_ref, *,
             # the staged average). int8 values are exact in bf16, so the
             # replicated rows times the row scale reproduce the
             # quantize-dequantize values bit-for-bit.
-            # s_sel arrives as a FULL-array block (tiny: (2, B, pad(K*H))
-            # f32): blocking it per-program put `rows` in the second-minor
-            # dim, where rows < 8 (long stages / K=30) violates Mosaic's
-            # (8, 128) tiling. Slice this program's rows here instead.
-            s_sel_k = s_sel_ref[0, pl.ds(i_prog * rows, rows), :][
-                :, :kh].astype(jnp.float32)                 # (G, K*H)
-            s_sel_v = s_sel_ref[1, pl.ds(i_prog * rows, rows), :][
-                :, :kh].astype(jnp.float32)
+            # s_sel arrives batch-major ((B, 2, pad(K*H)) f32) so the
+            # per-program block is (rows, 2, S) with `rows` in the LEADING
+            # dim — the (2, rows, S) layout put rows second-minor, which
+            # violates Mosaic's (8, 128) tiling whenever rows < 8 (long
+            # stages / K=30), and a dynamic ref slice crashed the Mosaic
+            # compiler outright.
+            s_sel = s_sel_ref[...]                          # (G, 2, S)
+            s_sel_k = s_sel[:, 0, :kh].astype(jnp.float32)  # (G, K*H)
+            s_sel_v = s_sel[:, 1, :kh].astype(jnp.float32)
             self_k = k_new_rep * s_sel_k[:, :, None]         # (G, K*H, D)
             self_v = v_new_rep * s_sel_v[:, :, None]
             _queue_append_dma(k_new, v_new)
@@ -576,7 +577,7 @@ def beam_select_attention_update(
     num_heads: int,
     scales: jnp.ndarray = None,  # (2, B, H, >=L*K) fp32 when cache is int8
     fresh_scales: jnp.ndarray = None,      # (2, B, H, 128) h-major, lane-pad
-    fresh_row_scales: jnp.ndarray = None,  # (2, B, >=K*H) row-stacked, pad
+    fresh_row_scales: jnp.ndarray = None,  # (B, 2, >=K*H) row-stacked, pad
 ):
     """Fused attention + in-place cache append.
 
@@ -663,13 +664,10 @@ def beam_select_attention_update(
                          lambda i, pos: (0, i, 0, 0)),
             pl.BlockSpec((2, rows) + fresh_scales.shape[2:],
                          lambda i, pos: (0, i, 0, 0)),
-            # Full-array block: with `rows` in the second-minor position
-            # this spec is only tile-legal for rows % 8 == 0, which long
-            # stages and wide beams (K=30 -> rows=4) violate. The buffer
-            # is tiny ((2, B, pad(K*H)) f32), so every program stages all
-            # of it and slices its rows with program_id in the kernel.
-            pl.BlockSpec(fresh_row_scales.shape,
-                         lambda i, pos: (0, 0, 0)),
+            # Batch-major (B, 2, S): rows blocks the LEADING dim (no tile
+            # constraint there); the minor (2, S) dims equal the array's.
+            pl.BlockSpec((rows,) + fresh_row_scales.shape[1:],
+                         lambda i, pos: (i, 0, 0)),
         ])
         out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))

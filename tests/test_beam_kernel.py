@@ -151,7 +151,8 @@ def _fresh_ops(k_new, v_new, h):
 
     k_q, k_hk, k_sel = one(k_new)
     v_q, v_hk, v_sel = one(v_new)
-    return (k_q, v_q, jnp.stack([k_hk, v_hk]), jnp.stack([k_sel, v_sel]))
+    return (k_q, v_q, jnp.stack([k_hk, v_hk]),
+            jnp.stack([k_sel, v_sel], axis=1))
 
 
 def test_update_kernel_matches_store_then_read():
