@@ -54,6 +54,13 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                 "the on-TPU production path)"
             )
             jax.config.update("jax_platforms", "cpu")
+            # The launch env may ALSO export JAX_PLATFORMS=axon, and
+            # tpu_guard.honor_platform_env re-asserts the env choice over
+            # config updates (it exists to beat the sitecustomize) — align
+            # the env so the cpu switch survives guard_if_tpu below.
+            import os
+
+            os.environ["JAX_PLATFORMS"] = "cpu"
     from ..tpu_guard import guard_if_tpu
 
     if guard_if_tpu():
