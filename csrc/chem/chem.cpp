@@ -1428,12 +1428,19 @@ std::string atom_token(const Mol& mol, int idx, const std::vector<int>& emit_ord
       int bond_sum = 0;
       for (int bidx : atom.bonds) bond_sum += bond_order_int(mol.bonds[bidx].order);
       default_h = 0;
+      bool fits = false;
       for (int v : organic_valences(atom.z)) {
         if (bond_sum <= v) {
           default_h = v - bond_sum;
+          fits = true;
           break;
         }
       }
+      // Hypervalent bracket atom (e.g. [I](C)C, [Cl](C)C): no shorthand
+      // valence fits, and the bare form would be REJECTED on re-parse
+      // (P[I]N -> "NIP" was a string the engine itself could not read).
+      // Brackets are permissive on parse, so keep the bracket on write.
+      if (!fits) needs_bracket = true;
     }
     if (default_h != atom.n_h) needs_bracket = true;
   }

@@ -623,6 +623,37 @@ def test_odd_cumulene_conflict_rejected():
     assert canonicalize("C(/F)(/Cl)=C=C=CC") is None
 
 
+HYPERVALENT_BRACKET_CASES = [
+    # (input, pinned canonical) — brackets are permissive on parse, so a
+    # bracketed atom whose bond sum fits NO organic-subset shorthand
+    # valence must KEEP its bracket on write: the bare form is rejected on
+    # re-parse (P[I]N once emitted "NIP", a string the engine itself could
+    # not read — found by a 31M-string fuzz, driver-round 5).
+    ("P[I]N", "N[I]P"),
+    ("[I](C)C", "C[I]C"),
+    ("[Cl](C)C", "C[Cl]C"),
+    ("[IH2]C", "C[IH2]"),
+]
+
+
+@pytest.mark.parametrize("smiles,expected", HYPERVALENT_BRACKET_CASES,
+                         ids=[c[0] for c in HYPERVALENT_BRACKET_CASES])
+def test_hypervalent_bracket_kept_on_write(smiles, expected):
+    out = canonicalize(smiles)
+    assert out == expected, out
+    assert canonicalize(out) == out  # the emitted string must re-parse
+    forms = {canonicalize(r) for r in random_smiles(smiles, 20, seed=3)}
+    assert forms == {expected}, forms
+
+
+def test_bare_hypervalent_halogen_rejected():
+    # The bare organic-subset form stays invalid (RDKit also rejects
+    # neutral divalent I/Cl): only the explicit bracket is permissive.
+    assert canonicalize("CIC") is None
+    assert canonicalize("NIP") is None
+    assert canonicalize("CClC") is None
+
+
 def test_cumulated_rings_never_crash():
     for s in ["C1=C=C=C1", "C1=C=C=C=C1", "C1=C=C=C=C=C1",
               "C/1=C=C=C=C1", "C=1=C=CC=1"]:
