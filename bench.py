@@ -44,7 +44,24 @@ import json
 import os
 import time
 
-import jax
+try:
+    import jax
+except ModuleNotFoundError:  # pragma: no cover - environment self-heal
+    # Since the 2026-08-21 re-provisioning, the interpreter with jax lives
+    # at /opt/venv/bin/python while the bare `python` on PATH has no
+    # packages. If a launcher (e.g. the round-end driver) invokes this
+    # script with the wrong python, re-exec with the venv one instead of
+    # dying on import.
+    import sys
+
+    _venv = "/opt/venv/bin/python"
+    # Compare the LITERAL executable path: the venv python is a symlink to
+    # the same binary (venv resolution is bin-path-based), so realpath
+    # comparison would wrongly skip the re-exec.
+    if os.path.exists(_venv) and sys.executable != _venv:
+        os.execv(_venv, [_venv] + sys.argv)
+    raise
+
 import numpy as np
 
 # Persistent compilation cache: decode graphs are expensive to compile on the
