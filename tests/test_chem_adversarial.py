@@ -770,6 +770,7 @@ def test_rendering_idempotence_fuzz_120k():
     corpus += [(n, s, e) for n, s, e in ORGANOMETALLIC_ADJACENT]
     corpus += [(n, s, None) for n, s in CUMULENE_EZ_CASES]
     corpus += [(n, s, e) for n, s, e in ALLENE_GOLDENS]
+    corpus += [(s, s, e) for s, e in HYPERVALENT_BRACKET_CASES]
     per = max(1, 120_000 // len(corpus))
     total = 0
     for name, smiles, expected in corpus:
